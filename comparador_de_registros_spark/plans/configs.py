@@ -1,0 +1,91 @@
+"""Dedup pipeline configuration.
+
+The shingle/signature config is THE contract the recall gate is defined
+at (BASELINE.json: "matching the reference's cluster assignments
+(dup-pair recall >= 0.99) at the same shingle/signature config"): the
+oracle (brute-force exact Jaccard + transitive closure) and the LSH
+pipeline both consume the same :class:`DedupConfig`.
+
+Default LSH geometry: 128 permutations as 32 bands x 4 rows. The S-curve
+gives pair-catch probability 1-(1-J^4)^32 — at the default Jaccard
+threshold 0.8 a true dup pair is missed with p ~ 5e-8, comfortably
+inside the 0.99 recall gate even before the SimHash and substring
+stages add their independent catches.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ShingleConfig:
+    """Document -> shingle-set config. ``kind='char'`` hashes utf-8 byte
+    k-grams of the normalized text (robust to token-level edits);
+    ``kind='word'`` hashes k-token windows."""
+
+    kind: str = "char"
+    k: int = 8
+    seed: int = 0x5EED_5EED
+
+    def __post_init__(self) -> None:
+        if self.kind not in ("char", "word"):
+            raise ValueError(f"unknown shingle kind {self.kind!r}")
+        if self.k < 1:
+            raise ValueError("k must be >= 1")
+
+
+@dataclass(frozen=True)
+class MinHashConfig:
+    num_perm: int = 128
+    seed: int = 0x00C0FFEE
+
+
+@dataclass(frozen=True)
+class LshConfig:
+    bands: int = 32
+    rows: int = 4
+    # skew guards: buckets larger than max_bucket_size are dropped from
+    # pair enumeration (logged in metrics); exact-dup collapse upstream
+    # makes oversized buckets near-dup mega-clusters only.
+    max_bucket_size: int = 2000
+
+
+@dataclass(frozen=True)
+class SimHashConfig:
+    bits: int = 64
+    hamming_k: int = 3  # max Hamming distance considered a candidate
+    seed: int = 0x51A5_11A5
+
+
+@dataclass(frozen=True)
+class SubstringConfig:
+    """Winnowing fingerprints for the exact-substring stage: any common
+    substring of length >= window + gram - 1 shares at least one
+    selected anchor (Schleimer/Wilkerson/Aiken winnowing guarantee)."""
+
+    gram: int = 32  # bytes per fingerprinted gram
+    window: int = 64  # winnowing window (positions per selection)
+    min_doc_len: int = 96  # skip docs shorter than a detectable overlap
+    seed: int = 0x5FF1_A11A
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    shingle: ShingleConfig = field(default_factory=ShingleConfig)
+    minhash: "MinHashConfig" = None  # type: ignore[assignment]
+    lsh: LshConfig = field(default_factory=LshConfig)
+    simhash: SimHashConfig = field(default_factory=SimHashConfig)
+    substring: SubstringConfig = field(default_factory=SubstringConfig)
+    jaccard_threshold: float = 0.8
+    use_simhash: bool = True
+    use_substring: bool = True
+
+    def __post_init__(self) -> None:
+        if self.minhash is None:
+            object.__setattr__(self, "minhash", MinHashConfig())
+        if self.minhash.num_perm != self.lsh.bands * self.lsh.rows:
+            raise ValueError(
+                f"num_perm ({self.minhash.num_perm}) must equal "
+                f"bands*rows ({self.lsh.bands}*{self.lsh.rows})"
+            )

@@ -1,0 +1,131 @@
+"""Declarative compare plans.
+
+The reference's logical plan is the ``pares`` list of
+``(idx1, idx2, tipo, nome)`` tuples dispatched per row
+(/root/reference/src/comparaRegistros.py:205-222). Here the plan is a
+named, typed :class:`CompareSpec` over DataFrame columns; the engine
+(operators/compare.py) lowers it onto a DataFrame lineage that Catalyst
+plans (scan -> normalize -> freq join -> score exprs/UDFs -> sort).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class FieldType(str, Enum):
+    TEXT = "T"
+    NAME = "N"
+    DATE = "D"
+    LOCALITY = "C"
+    ADDRESS = "L"
+    NUMBER = "M"
+
+    @classmethod
+    def parse(cls, code: str) -> "FieldType":
+        code = (code or "T").upper()
+        # legacy alias: 'E' (endereço) means address (gui.py:401-408)
+        if code == "E":
+            code = "L"
+        try:
+            return cls(code)
+        except ValueError:
+            return cls.TEXT
+
+
+# criterion column suffixes per type; the pt-BR labels mirror the
+# reference's output headers (comparators/core.py:55-101) so a user of
+# the reference can map columns 1:1.
+CRITERIA: dict[FieldType, tuple[str, ...]] = {
+    FieldType.NAME: (
+        "prim_frag_igual", "ult_frag_igual", "qtd_frag_iguais",
+        "qtd_frag_raros", "qtd_frag_comuns", "qtd_frag_muito_parec",
+        "qtd_frag_abrev",
+    ),
+    FieldType.TEXT: (
+        "prim_frag_igual", "ult_frag_igual", "qtd_frag_iguais",
+        "qtd_frag_raros", "qtd_frag_comuns", "qtd_frag_muito_parec",
+        "qtd_frag_abrev",
+    ),
+    FieldType.DATE: (
+        "dt_iguais", "dt_ap_1digi", "dt_inv_dia", "dt_inv_mes", "dt_inv_ano",
+    ),
+    FieldType.LOCALITY: (
+        "uf_igual", "uf_prox", "local_igual", "local_prox",
+    ),
+    FieldType.ADDRESS: (
+        "via_igual", "via_prox", "numero_igual", "compl_prox",
+        "texto_prox", "tokens_jacc",
+    ),
+    FieldType.NUMBER: (
+        "num_igual", "num_prox_abs", "num_prox_rel", "num_prox_arred",
+    ),
+}
+
+
+@dataclass(frozen=True)
+class ComparePair:
+    """One typed column-pair comparison: columns ``left`` and ``right``
+    of a pairs DataFrame, compared as ``field_type``, labeled ``name``."""
+
+    left: str
+    right: str
+    field_type: FieldType
+    name: str
+
+    def criterion_columns(self) -> list[str]:
+        return [f"{self.name}_{c}" for c in CRITERIA[self.field_type]]
+
+
+@dataclass(frozen=True)
+class CompareSpec:
+    """A full compare plan: ordered pairs + global knobs."""
+
+    pairs: tuple[ComparePair, ...]
+    include_abbreviations: bool = True
+    # processar (legacy path) guards names non-empty / dates len 8;
+    # processar_generico does not (SURVEY.md §3.2). Default = generic.
+    legacy_empty_guards: bool = False
+    total_column: str = "nota_final"
+
+    def criterion_columns(self) -> list[str]:
+        cols: list[str] = []
+        for p in self.pairs:
+            cols.extend(p.criterion_columns())
+        return cols
+
+
+def criteria_labels(spec: CompareSpec) -> list[str]:
+    """Output criterion labels incl. the total — the Spark analogue of
+    ``build_criterios_labels`` (core.py:55-101)."""
+    return spec.criterion_columns() + [spec.total_column]
+
+
+# --- config-time type inference (gui.py:252-424, condensed) ---------------
+
+_DATE_HINTS = ("nasc", "data", "dt_", "_dt", "date", "dtnasc", "dn")
+_ADDRESS_HINTS = ("lograd", "endere", "rua", "aven", "address", "street")
+_LOCALITY_HINTS = ("municip", "cidade", "local", "codmun", "mun_")
+_NAME_HINTS = ("nome", "nm_", "name", "mae", "pai", "paciente")
+_NUMBER_HINTS = ("num", "valor", "qtd", "peso", "idade", "renda", "cep")
+
+
+def infer_field_type(column_name: str) -> FieldType:
+    """Heuristic default type from a column name — config-time helper
+    only (the reference GUI's guess tables, gui.py:252-398); never used
+    in the data plane."""
+    n = column_name.strip().lower()
+    n = re.sub(r"^[rc]_", "", n)  # OpenRecLink side prefix (gui.py:427-439)
+    if any(h in n for h in _DATE_HINTS):
+        return FieldType.DATE
+    if any(h in n for h in _ADDRESS_HINTS):
+        return FieldType.ADDRESS
+    if any(h in n for h in _LOCALITY_HINTS):
+        return FieldType.LOCALITY
+    if any(h in n for h in _NAME_HINTS):
+        return FieldType.NAME
+    if any(h in n for h in _NUMBER_HINTS):
+        return FieldType.NUMBER
+    return FieldType.TEXT

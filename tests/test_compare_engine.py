@@ -1,0 +1,168 @@
+"""Spark-side pair-scoring engine tests.
+
+Mirrors the reference's integration/functional tier
+(/root/reference/tests/integration/test_processar_generico.py,
+/root/reference/tests/functional/test_processar.py) plus a row-level
+parity sweep: the Spark engine must agree with the pure-Python golden
+scorers on every fixture row.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from comparador_de_registros_spark.functions.normalize import padroniza, padroniza_col
+from comparador_de_registros_spark.functions import scores as S
+from comparador_de_registros_spark.operators.compare import (
+    build_freq_artifacts,
+    score_pairs,
+    to_export,
+)
+from comparador_de_registros_spark.operators import freq as freq_ops
+from comparador_de_registros_spark.plans.spec import (
+    ComparePair,
+    CompareSpec,
+    FieldType,
+    infer_field_type,
+)
+
+ROWS = [
+    # (nome_a, nome_b, local_a, local_b, log_a, log_b, data_a, data_b,
+    #  txt_a, txt_b, num_a, num_b)
+    ("Ana Maria da Silva", "Ana M. Silva", "SP1234", "SP1234",
+     "Rua das Flores, nº 123 - Bl A", "R. das Flores 123 bloco A",
+     "19900101", "19900102", "ana maria", "ana maria", "10,50", "10.5"),
+    ("Carlos Souza", "Carla Souza", "SP1234", "SQ1235",
+     "Av Brasil s/n bloco 4", "Avenida Brasil sn bl 4",
+     "20200112", "20200121", "unico comum", "comum", "2020", "2021"),
+    ("João da Silva Jr.", "Joao Silva", "RJ9999", "RJ9999",
+     "Rua A 10", "Rua A 10",
+     "20211201", "20212101", "", "qualquer", "", "5"),
+    ("", "Maria", "XX12", "XX12",
+     "", "", "2020", "2020", "20200101", "20200101", "1.234,56", "1234.56"),
+]
+COLS = [
+    "nome_a", "nome_b", "local_a", "local_b", "log_a", "log_b",
+    "data_a", "data_b", "txt_a", "txt_b", "num_a", "num_b",
+]
+
+SPEC = CompareSpec(
+    pairs=(
+        ComparePair("nome_a", "nome_b", FieldType.NAME, "paciente"),
+        ComparePair("local_a", "local_b", FieldType.LOCALITY, "local"),
+        ComparePair("log_a", "log_b", FieldType.ADDRESS, "endereco"),
+        ComparePair("data_a", "data_b", FieldType.DATE, "nascimento"),
+        ComparePair("txt_a", "txt_b", FieldType.TEXT, "obs"),
+        ComparePair("num_a", "num_b", FieldType.NUMBER, "valor"),
+    )
+)
+
+
+@pytest.fixture(scope="module")
+def pairs_df(spark):
+    return spark.createDataFrame(ROWS, COLS)
+
+
+@pytest.fixture(scope="module")
+def scored(pairs_df):
+    return score_pairs(pairs_df, SPEC)
+
+
+def test_padroniza_col_matches_python(spark):
+    samples = [
+        "  João da Silva Jr.  ", "ÁÉÍ ÓÚ", "Maria das Dores Bisneto",
+        "a filho neto", "", "   ", "José-Carlos d'Ávila", "ß æ straße",
+        "O'Neil Mc Donald", "número 42!", "ção çedilha",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["v"])
+    got = [r["p"] for r in df.select(padroniza_col("v").alias("p")).collect()]
+    assert got == [padroniza(s) for s in samples]
+
+
+def test_engine_matches_python_scorers_rowwise(scored, pairs_df):
+    freq = build_freq_artifacts(pairs_df, SPEC)
+    rows = {tuple(r[c] for c in COLS): r for r in scored.collect()}
+    for raw in ROWS:
+        got = rows[raw]
+        d = dict(zip(COLS, raw))
+        expected = {}
+        n1, n2 = padroniza(d["nome_a"]), padroniza(d["nome_b"])
+        for name, s in zip(
+            SPEC.pairs[0].criterion_columns(),
+            S.score_name(n1, n2, freq.get("paciente")),
+        ):
+            expected[name] = s
+        for name, s in zip(
+            SPEC.pairs[1].criterion_columns(),
+            S.score_locality(padroniza(d["local_a"]), padroniza(d["local_b"])),
+        ):
+            expected[name] = s
+        for name, s in zip(
+            SPEC.pairs[2].criterion_columns(),
+            S.score_address(padroniza(d["log_a"]), padroniza(d["log_b"])),
+        ):
+            expected[name] = s
+        for name, s in zip(
+            SPEC.pairs[3].criterion_columns(),
+            S.score_date(padroniza(d["data_a"]), padroniza(d["data_b"])),
+        ):
+            expected[name] = s
+        for name, s in zip(
+            SPEC.pairs[4].criterion_columns(),
+            S.score_text(padroniza(d["txt_a"]), padroniza(d["txt_b"]), freq.get("obs")),
+        ):
+            expected[name] = s
+        for name, s in zip(
+            SPEC.pairs[5].criterion_columns(),
+            S.score_number(d["num_a"], d["num_b"]),
+        ):
+            expected[name] = s
+        for name, val in expected.items():
+            assert got[name] == pytest.approx(val, abs=1e-9), (raw[0], name)
+        assert got[SPEC.total_column] == pytest.approx(sum(expected.values()), abs=1e-8)
+
+
+def test_exact_match_outscores_non_match(scored):
+    # functional tier semantics (test_processar.py): identical pair wins
+    rows = scored.select("nome_a", "nota_final").collect()
+    notas = {r["nome_a"]: r["nota_final"] for r in rows}
+    assert notas["Ana Maria da Silva"] > notas["Carlos Souza"]
+
+
+def test_export_formatting_and_sort(scored):
+    out = to_export(scored, SPEC)
+    rows = out.collect()
+    # sorted desc by numeric nota
+    raw = [r for r in scored.collect()]
+    raw.sort(key=lambda r: r["nota_final"], reverse=True)
+    assert [r["nome_a"] for r in rows] == [r["nome_a"] for r in raw]
+    # comma-decimal rendering
+    assert all("," in r["nota_final"] for r in rows)
+
+
+def test_flat_token_freq(spark):
+    df = spark.createDataFrame(
+        [("ana maria", "ana"), ("maria clara", "ana maria")], ["a", "b"]
+    )
+    freq = freq_ops.collect_flat_map(freq_ops.flat_token_freq(df, "a", "b"))
+    assert freq == {"ana": 3, "maria": 3, "clara": 1}
+
+
+def test_positional_name_freq_single_token_counts_twice(spark):
+    df = spark.createDataFrame([("ana", ""), ("ana maria silva", "")], ["a", "b"])
+    first, middle, last = freq_ops.collect_positional_maps(
+        freq_ops.positional_name_freq(df, "a", "b")
+    )
+    # single-token "ana" counts as first AND last (freqBuilder.py:21-28)
+    assert first == {"ana": 2}
+    assert last == {"ana": 1, "silva": 1}
+    assert middle == {"maria": 1}
+
+
+def test_infer_field_type():
+    assert infer_field_type("R_NOME_PACIENTE") == FieldType.NAME
+    assert infer_field_type("dt_nasc") == FieldType.DATE
+    assert infer_field_type("logradouro") == FieldType.ADDRESS
+    assert infer_field_type("cod_municipio") == FieldType.LOCALITY
+    assert infer_field_type("observacao") == FieldType.TEXT
