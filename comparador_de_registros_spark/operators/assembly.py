@@ -1,0 +1,62 @@
+"""Conversation assembly: turns -> documents.
+
+Input is the transcript table mandated by BASELINE.json.input_hint
+(``conv_id string, turn_idx int, role string, text string, tool string,
+ts timestamp``). A conversation document is the concatenation of turn
+texts in stable ``turn_idx`` order — the per-row invariant ("per-turn
+text equality under stable turn ordering") that turn-reordered decoys
+must NOT satisfy.
+
+Implementation note (scale): ``array_sort(collect_list(struct(...)))``
+inside a single hash aggregation instead of a window + collect_list —
+one shuffle on conv_id, no window state, map-side partial aggregation.
+Struct sort orders by field position, so turn_idx leads the struct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TURN_SEPARATOR = "\n"
+
+
+def assemble_conversations(
+    turns: DataFrame,
+    sep: str = TURN_SEPARATOR,
+    include_role: bool = False,
+) -> DataFrame:
+    """-> (conv_id, doc, n_turns, n_chars)
+
+    ``doc`` is the turn texts joined in turn_idx order. With
+    ``include_role`` each turn is rendered ``role: text`` (useful for
+    role-sensitive matching; default off to preserve raw per-turn text
+    equality)."""
+    turn_struct = F.struct(
+        F.col("turn_idx").alias("turn_idx"),
+        (
+            F.concat_ws(": ", F.col("role"), F.col("text"))
+            if include_role
+            else F.col("text")
+        ).alias("text"),
+    )
+    assembled = turns.groupBy("conv_id").agg(
+        F.array_sort(F.collect_list(turn_struct)).alias("turns_sorted"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+    return assembled.select(
+        "conv_id",
+        F.array_join(F.transform("turns_sorted", lambda t: t["text"]), sep).alias(
+            "doc"
+        ),
+        "n_turns",
+    ).withColumn("n_chars", F.length("doc"))
+
+
+def normalize_doc_col(col):
+    """Light document normalization applied before shingling: lowercase,
+    collapse whitespace. Deliberately does NOT run the full ``padroniza``
+    (stopword/suffix removal is name semantics, not document semantics);
+    accent folding is skipped so that byte-level shingles preserve the
+    reference's per-turn text equality invariant."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")

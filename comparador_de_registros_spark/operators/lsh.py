@@ -1,0 +1,154 @@
+"""Candidate-pair generation: MinHash-LSH bands, SimHash Hamming
+blocks, and winnowed substring anchors.
+
+All three generators share the same physical shape — explode a per-doc
+key set, equi self-join on the key, keep ``a < b`` — which Catalyst
+plans as a shuffled hash/sort-merge join on the key. Everything here is
+native Column expressions (band hashing via ``F.hash`` over signature
+slices, SimHash blocks via shifts/masks, Hamming verify via
+``bit_count(a ^ b)``): zero Python in the candidate path.
+
+Skew handling (north_rule: "partitioning / shuffle / skew handled
+explicitly"):
+* exact-duplicate collapse happens UPSTREAM (pipeline.py) so identical
+  boilerplate can't form mega-buckets;
+* any residual bucket larger than ``max_bucket_size`` is excluded from
+  pair enumeration and surfaced in the metrics table (dropped-bucket
+  accounting) rather than silently exploding O(n^2);
+* AQE skew-join splitting stays on for the join itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from comparador_de_registros_spark.plans.configs import (
+    LshConfig,
+    SimHashConfig,
+)
+
+
+def _self_join_pairs(
+    keyed: DataFrame,
+    key_cols: list[str],
+    max_bucket_size: int,
+    source: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(conv_id, *key_cols) -> distinct candidate pairs (a, b, source)
+    with a < b, skipping buckets over ``max_bucket_size``.
+
+    Returns (pairs, dropped_buckets) — the latter for metrics/lineage.
+    """
+    sized = keyed.groupBy(*key_cols).agg(
+        F.collect_list("conv_id").alias("members"), F.count("*").alias("sz")
+    )
+    ok = sized.where(F.col("sz").between(2, max_bucket_size))
+    dropped = sized.where(F.col("sz") > max_bucket_size).select(
+        *key_cols, "sz"
+    )
+    # enumerate pairs inside each bucket without a second shuffle:
+    # the bucket is already materialized as an array (bounded by the
+    # cap), so a sorted-array double-explode beats re-joining the
+    # exploded table against itself at scale.
+    m = F.array_sort("members")
+    pairs = (
+        ok.select(m.alias("m"))
+        .select(F.posexplode("m").alias("i", "a"), F.col("m"))
+        .select("a", F.explode(F.slice("m", F.col("i") + 2, F.size("m"))).alias("b"))
+        .select("a", "b")
+        .distinct()
+        .withColumn("source", F.lit(source))
+    )
+    return pairs, dropped
+
+
+def lsh_band_keys(sig_col: str, cfg: LshConfig) -> Column:
+    """array of per-band hashes: band i = hash(slice(sig, i*r, r), i)."""
+    return F.array(
+        *[
+            F.hash(
+                F.slice(F.col(sig_col), i * cfg.rows + 1, cfg.rows), F.lit(i)
+            )
+            for i in range(cfg.bands)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, cfg: LshConfig
+) -> tuple[DataFrame, DataFrame]:
+    """MinHash banding: equal band-slice => candidate.
+
+    -> (pairs(a, b, source='lsh'), dropped_buckets(band, key, sz))"""
+    keyed = signatures.select(
+        "conv_id",
+        F.posexplode(lsh_band_keys("minhash", cfg)).alias("band", "key"),
+    )
+    return _self_join_pairs(keyed, ["band", "key"], cfg.max_bucket_size, "lsh")
+
+
+def simhash_candidates(
+    signatures: DataFrame, cfg: SimHashConfig, max_bucket_size: int
+) -> tuple[DataFrame, DataFrame]:
+    """SimHash pigeonhole blocking: split the 64-bit fingerprint into
+    ``hamming_k + 1`` blocks; two docs within Hamming distance k agree
+    on at least one full block. Equi-join per block, then the exact
+    ``bit_count(xor) <= k`` theta post-filter."""
+    blocks = cfg.hamming_k + 1
+    width = cfg.bits // blocks
+    mask = (1 << width) - 1
+    keyed = signatures.select(
+        "conv_id",
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("block", "key"),
+    )
+    sized = keyed.groupBy("block", "key").agg(
+        F.collect_list(F.struct("conv_id", "simhash")).alias("members"),
+        F.count("*").alias("sz"),
+    )
+    ok = sized.where(F.col("sz").between(2, max_bucket_size))
+    dropped = sized.where(F.col("sz") > max_bucket_size).select("block", "key", "sz")
+    m = F.array_sort("members")
+    pairs = (
+        ok.select(m.alias("m"))
+        .select(F.posexplode("m").alias("i", "l"), F.col("m"))
+        .select(
+            "l", F.explode(F.slice("m", F.col("i") + 2, F.size("m"))).alias("r")
+        )
+        .where(
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            )
+            <= cfg.hamming_k
+        )
+        .select(
+            F.col("l.conv_id").alias("a"),
+            F.col("r.conv_id").alias("b"),
+        )
+        .distinct()
+        .withColumn("source", F.lit("simhash"))
+    )
+    return pairs, dropped
+
+
+def substring_candidates(
+    signatures: DataFrame, max_bucket_size: int
+) -> tuple[DataFrame, DataFrame]:
+    """Winnowed-anchor blocking for exact-substring duplicates: two docs
+    sharing any substring of >= window+gram-1 bytes share an anchor
+    (winnowing guarantee). Containment verification happens in the
+    verify stage (needs the doc text)."""
+    keyed = signatures.select(
+        "conv_id", F.explode("anchors").alias("key")
+    )
+    return _self_join_pairs(keyed, ["key"], max_bucket_size, "substring")

@@ -1,0 +1,244 @@
+"""Deterministic synthetic transcript generator (FIXTURES.md §1).
+
+Generates the BASELINE.json input_hint table
+``(conv_id string, turn_idx int, role string, text string, tool string,
+ts timestamp)`` with planted duplicate structure, fully distributed:
+the driver only decides *counts*; every turn is derived inside
+``mapInPandas`` from a per-conversation seed (splitmix of the conv
+index), so generation scales with the cluster and two runs are
+byte-identical.
+
+Planted classes (one per base conversation, chosen by ``base % 10``):
+* 0,1     -> exact duplicate (copy under a new conv_id)
+* 2,3     -> near duplicate (1-2 token edits per a few turns: accent/
+             abbreviation/one-digit-date changes mirroring the
+             reference comparators)
+* 4       -> substring duplicate (base embedded contiguously in a
+             longer conversation)
+* 5       -> turn-reordered decoy (same turns, shuffled turn_idx) —
+             NOT a duplicate under stable-order assembly
+* 6-9     -> singleton noise
+
+Ground truth (``truth_pairs``/``truth_clusters``) is derived from the
+same arithmetic, driver-side (tiny).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TURNS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("tool", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+_FIRST = ["ana", "joao", "maria", "carlos", "paula", "bruno", "carla", "jose", "lucia", "pedro"]
+_LAST = ["silva", "souza", "oliveira", "santos", "pereira", "costa", "almeida", "rocha"]
+_WORDS = (
+    "consulta paciente registro sistema cadastro hospital resultado exame "
+    "agendamento retorno receita medicamento dosagem historico relatorio "
+    "atendimento prontuario liberado pendente confirmado aguardando analise "
+    "verificar atualizar endereco telefone contato responsavel unidade setor"
+).split()
+_STREETS = ["rua das flores", "av brasil", "travessa alpha", "rua dos andradas", "al santos"]
+_ROLES = ["user", "assistant", "tool"]
+_TOOLS = ["", "", "", "lookup", "scheduler"]
+
+MODULUS = 10
+KIND_EXACT = (0, 1)
+KIND_NEAR = (2, 3)
+KIND_SUBSTRING = (4,)
+KIND_DECOY = (5,)
+
+
+@dataclass(frozen=True)
+class TranscriptSpec:
+    n_base: int = 200
+    seed: int = 42
+    min_turns: int = 6
+    max_turns: int = 14
+    min_words: int = 5
+    max_words: int = 9
+
+
+def _conv_rng(spec: TranscriptSpec, index: int) -> np.random.Generator:
+    return np.random.default_rng((spec.seed << 20) ^ index)
+
+
+def _base_turns(spec: TranscriptSpec, base: int) -> list[str]:
+    """The turn texts of base conversation ``base`` (deterministic)."""
+    rng = _conv_rng(spec, base)
+    n_turns = int(rng.integers(spec.min_turns, spec.max_turns + 1))
+    turns = []
+    for t in range(n_turns):
+        n_words = int(rng.integers(spec.min_words, spec.max_words + 1))
+        words = list(rng.choice(_WORDS, size=n_words))
+        # sprinkle reference-comparator-shaped tokens (FIXTURES.md §1)
+        roll = int(rng.integers(0, 6))
+        if roll == 0:
+            words.append(f"{rng.choice(_FIRST)} {rng.choice(_LAST)}")
+        elif roll == 1:
+            words.append(
+                f"{1950 + int(rng.integers(0, 70)):04d}"
+                f"{int(rng.integers(1, 13)):02d}{int(rng.integers(1, 29)):02d}"
+            )
+        elif roll == 2:
+            words.append(f"{rng.choice(_STREETS)} {int(rng.integers(1, 999))}")
+        elif roll == 3:
+            words.append(f"SP{int(rng.integers(1000, 9999))}")
+        turns.append(" ".join(words))
+    return turns
+
+
+def _near_dup_turns(spec: TranscriptSpec, base: int) -> list[str]:
+    """1-2 light token edits on a copy (abbreviation, digit typo)."""
+    turns = _base_turns(spec, base)
+    rng = _conv_rng(spec, base + 7_000_003)
+    for _ in range(2):
+        ti = int(rng.integers(0, len(turns)))
+        toks = turns[ti].split()
+        if not toks:
+            continue
+        wi = int(rng.integers(0, len(toks)))
+        tok = toks[wi]
+        if tok.isdigit() and len(tok) >= 2:
+            toks[wi] = tok[:-1] + str((int(tok[-1]) + 1) % 10)
+        elif len(tok) > 3:
+            toks[wi] = tok[0] + "."
+        turns[ti] = " ".join(toks)
+    return turns
+
+
+def _dup_plan(spec: TranscriptSpec, base: int) -> tuple[str, list[str]] | None:
+    """-> (dup kind, dup conversation turn texts) for a base index."""
+    kind = base % MODULUS
+    if kind in KIND_EXACT:
+        return "exact", _base_turns(spec, base)
+    if kind in KIND_NEAR:
+        return "near", _near_dup_turns(spec, base)
+    if kind in KIND_SUBSTRING:
+        rng = _conv_rng(spec, base + 11_000_027)
+        pre = _base_turns(spec, int(rng.integers(0, 1 << 30)) + 900_000_000)[:2]
+        post = _base_turns(spec, int(rng.integers(0, 1 << 30)) + 950_000_000)[:2]
+        return "substring", pre + _base_turns(spec, base) + post
+    if kind in KIND_DECOY:
+        turns = _base_turns(spec, base)
+        rng = _conv_rng(spec, base + 13_000_033)
+        perm = rng.permutation(len(turns))
+        # guarantee an actual reordering
+        if len(turns) > 1 and (perm == np.arange(len(turns))).all():
+            perm = np.roll(perm, 1)
+        return "decoy", [turns[i] for i in perm]
+    return None
+
+
+def base_conv_id(i: int) -> str:
+    return f"conv_{i:08d}"
+
+
+def dup_conv_id(i: int) -> str:
+    return f"dup_{i:08d}"
+
+
+def generate_transcripts(spark: SparkSession, spec: TranscriptSpec) -> DataFrame:
+    """Distributed deterministic generation of turns for all base
+    conversations + their planted derivatives."""
+    bspec = spark.sparkContext.broadcast(spec)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sp: TranscriptSpec = bspec.value
+        base_ts = pd.Timestamp("2025-01-01T00:00:00")
+        for pdf in batches:
+            rows: list[tuple] = []
+            for base in pdf["id"].astype(int):
+                emit: list[tuple[str, list[str]]] = [
+                    (base_conv_id(base), _base_turns(sp, base))
+                ]
+                plan = _dup_plan(sp, base)
+                if plan is not None:
+                    emit.append((dup_conv_id(base), plan[1]))
+                rng = _conv_rng(sp, base + 17_000_131)
+                for conv_id, turns in emit:
+                    t0 = base_ts + pd.Timedelta(seconds=int(base) * 997)
+                    for idx, text in enumerate(turns):
+                        role = _ROLES[idx % len(_ROLES)]
+                        tool = _TOOLS[int(rng.integers(0, len(_TOOLS)))]
+                        rows.append(
+                            (
+                                conv_id,
+                                idx,
+                                role,
+                                text,
+                                tool if role == "tool" else "",
+                                t0 + pd.Timedelta(seconds=idx),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+            )
+
+    n_part = max(2, min(spec.n_base // 64, 256))
+    return (
+        spark.range(spec.n_base)
+        .repartition(n_part)
+        .mapInPandas(gen, TURNS_SCHEMA)
+    )
+
+
+def truth_kind(base: int) -> str | None:
+    k = base % MODULUS
+    if k in KIND_EXACT:
+        return "exact"
+    if k in KIND_NEAR:
+        return "near"
+    if k in KIND_SUBSTRING:
+        return "substring"
+    if k in KIND_DECOY:
+        return "decoy"
+    return None
+
+
+def truth_pairs(spark: SparkSession, spec: TranscriptSpec) -> DataFrame:
+    """Planted TRUE duplicate pairs (decoys and singletons excluded).
+    -> (a, b, kind) with a < b."""
+    rows = []
+    for base in range(spec.n_base):
+        kind = truth_kind(base)
+        if kind in ("exact", "near", "substring"):
+            a, b = sorted((base_conv_id(base), dup_conv_id(base)))
+            rows.append((a, b, kind))
+    return spark.createDataFrame(rows, ["a", "b", "kind"])
+
+
+def truth_clusters(spark: SparkSession, spec: TranscriptSpec) -> DataFrame:
+    """Planted cluster assignment: each true dup pair forms a 2-cluster
+    labeled by its minimum conv_id; all other conversations are
+    singletons. -> (conv_id, cluster_id)"""
+    rows = []
+    for base in range(spec.n_base):
+        kind = truth_kind(base)
+        cid = base_conv_id(base)
+        if kind in ("exact", "near", "substring"):
+            did = dup_conv_id(base)
+            root = min(cid, did)
+            rows.append((cid, root))
+            rows.append((did, root))
+        else:
+            rows.append((cid, cid))
+            if kind == "decoy":
+                rows.append((dup_conv_id(base), dup_conv_id(base)))
+    return spark.createDataFrame(rows, ["conv_id", "cluster_id"])

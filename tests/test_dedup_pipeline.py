@@ -1,0 +1,141 @@
+"""End-to-end dedup pipeline tests: recall gate vs brute-force oracle,
+ordering invariant (decoys), clustering, resume determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from comparador_de_registros_spark.operators.assembly import assemble_conversations
+from comparador_de_registros_spark.operators.cluster import connected_components
+from comparador_de_registros_spark.operators.pipeline import (
+    T_CLUSTERS,
+    T_DOCS,
+    DedupPipeline,
+)
+from comparador_de_registros_spark.oracle import brute_force_oracle, pair_recall
+from comparador_de_registros_spark.plans.configs import DedupConfig
+from comparador_de_registros_spark.sources.catalog import ParquetCatalog
+from comparador_de_registros_spark.sources import transcripts as tg
+
+SPEC = tg.TranscriptSpec(n_base=200, seed=42)
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    return tg.generate_transcripts(spark, SPEC).cache()
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, turns, tmp_path_factory):
+    catalog = ParquetCatalog(str(tmp_path_factory.mktemp("dedup")))
+    pipe = DedupPipeline(catalog=catalog, cfg=DedupConfig())
+    clusters = pipe.run(spark, turns)
+    return catalog, pipe, clusters
+
+
+def test_generator_deterministic(spark):
+    a = tg.generate_transcripts(spark, SPEC)
+    b = tg.generate_transcripts(spark, SPEC)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_assembly_stable_order(spark):
+    rows = [
+        ("c1", 2, "user", "three", "", None),
+        ("c1", 0, "user", "one", "", None),
+        ("c1", 1, "assistant", "two", "", None),
+        ("c2", 0, "user", "solo", "", None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+    docs = {r["conv_id"]: r["doc"] for r in assemble_conversations(df).collect()}
+    assert docs["c1"] == "one\ntwo\nthree"
+    assert docs["c2"] == "solo"
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p")], ["a", "b"]
+    )
+    comp = {r["conv_id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+    assert "p" not in comp  # self-edges dropped; singletons added later
+
+
+def test_connected_components_chain(spark):
+    # long path graph exercises multiple star rounds
+    n = 40
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(n)], ["a", "b"]
+    )
+    comp = connected_components(edges)
+    assert comp.select("cluster_id").distinct().count() == 1
+    assert comp.count() == n + 1
+
+
+def test_pipeline_recall_vs_oracle(spark, pipeline_result):
+    catalog, pipe, clusters = pipeline_result
+    docs = catalog.read(spark, T_DOCS)
+    oracle = brute_force_oracle(docs, pipe.cfg)
+    recall, caught, total = pair_recall(oracle, clusters)
+    # planted dups: 5 per 10 base convs -> ~100 oracle pairs minimum
+    assert total >= 80, f"oracle found too few dup pairs ({total})"
+    assert recall >= 0.99, f"recall {recall:.4f} ({caught}/{total})"
+
+
+def test_planted_dups_are_caught(spark, pipeline_result):
+    catalog, pipe, clusters = pipeline_result
+    truth = tg.truth_pairs(spark, SPEC)
+    assign = {r["conv_id"]: r["cluster_id"] for r in clusters.collect()}
+    missed = []
+    for r in truth.collect():
+        if assign.get(r["a"]) != assign.get(r["b"]):
+            missed.append((r["a"], r["b"], r["kind"]))
+    miss_rate = len(missed) / max(truth.count(), 1)
+    assert miss_rate <= 0.01, f"missed planted dups: {missed[:10]}"
+
+
+def test_decoys_not_merged(spark, pipeline_result):
+    """Turn-reordered decoys must NOT co-cluster with their base conv —
+    the per-turn stable-ordering invariant (BASELINE.json input_hint)."""
+    catalog, pipe, clusters = pipeline_result
+    docs = catalog.read(spark, T_DOCS)
+    oracle = brute_force_oracle(docs, pipe.cfg)
+    assign = {r["conv_id"]: r["cluster_id"] for r in clusters.collect()}
+    n_decoys = 0
+    merged = []
+    for base in range(SPEC.n_base):
+        if tg.truth_kind(base) == "decoy":
+            n_decoys += 1
+            a, b = tg.base_conv_id(base), tg.dup_conv_id(base)
+            # decoy must differ from base as a document...
+            if assign[a] == assign[b] and (min(a, b), max(a, b)) not in oracle.dup_pairs:
+                merged.append((a, b))
+    assert n_decoys > 0
+    assert not merged, f"decoys wrongly merged: {merged[:5]}"
+
+
+def test_exact_dup_docs_identical(spark, pipeline_result):
+    catalog, _, _ = pipeline_result
+    docs = {r["conv_id"]: r["doc"] for r in catalog.read(spark, T_DOCS).collect()}
+    found = False
+    for base in range(SPEC.n_base):
+        if tg.truth_kind(base) == "exact":
+            assert docs[tg.base_conv_id(base)] == docs[tg.dup_conv_id(base)]
+            found = True
+        if tg.truth_kind(base) == "decoy":
+            assert docs[tg.base_conv_id(base)] != docs[tg.dup_conv_id(base)]
+    assert found
+
+
+def test_resume_skips_completed_stages(spark, turns, tmp_path_factory):
+    catalog = ParquetCatalog(str(tmp_path_factory.mktemp("resume")))
+    small = tg.TranscriptSpec(n_base=40, seed=7)
+    t = tg.generate_transcripts(spark, small)
+    pipe = DedupPipeline(catalog=catalog, cfg=DedupConfig())
+    first = pipe.run(spark, t).collect()
+    # drop the tail stage, resume: earlier stages must be reused
+    catalog.drop(T_CLUSTERS)
+    second = pipe.run(spark, t, resume=True).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
