@@ -1,0 +1,144 @@
+"""Document-table dedup operators (training-data pipeline surface).
+
+The transcript pipeline (operators/pipeline.py) works on assembled
+conversations; these wrappers expose the same dedup machinery over any
+generic ``(doc_id, text)`` documents table — exact hash dedup, token
+n-gram Jaccard, MinHash-LSH, SimHash — plus embedding-cosine near-dup
+via operators/similarity.py. Exact and n-gram variants are fully
+native (and have exact SQL oracles); the signature variants reuse the
+mapInPandas signature stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from comparador_de_registros_spark.operators import lsh as lsh_ops
+from comparador_de_registros_spark.operators.assembly import normalize_doc_col
+from comparador_de_registros_spark.operators.signatures import compute_signatures
+from comparador_de_registros_spark.operators.verify import (
+    union_candidates,
+    verify_pairs,
+)
+from comparador_de_registros_spark.plans.configs import DedupConfig
+
+
+def exact_dup_clusters(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5 of normalized text. -> one row per duplicate
+    GROUP (size >= 2): (doc_hash, n_docs, canonical_id)."""
+    hashed = docs.select(
+        F.col(id_col),
+        F.md5(normalize_doc_col(F.col(text_col))).alias("doc_hash"),
+    )
+    return (
+        hashed.groupBy("doc_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def exact_dup_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-duplicate pairs (a < b) via hash self-join."""
+    hashed = docs.select(
+        F.col(id_col).alias("a"),
+        F.md5(normalize_doc_col(F.col(text_col))).alias("doc_hash"),
+    )
+    other = hashed.select(F.col("a").alias("b"), "doc_hash")
+    return (
+        hashed.join(other, "doc_hash")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+
+
+def distinct_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) with distinct lowercased whitespace tokens."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                        lambda t: t != F.lit(""),
+                    )
+                )
+            ).alias("token"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-set Jaccard dup pairs via inverted-index join — the fully
+    native, SQL-checkable variant of near-dup detection:
+
+      tokens -> inverted index -> co-occurrence counts (one shuffle on
+      token, one on the pair) -> |A ∩ B| / (|A| + |B| - |A ∩ B|).
+
+    Scale note: the token join explodes on ubiquitous tokens; in the
+    100 TB path use minhash_dup_pairs (this operator is the exact
+    verifier / small-scale oracle). -> (a, b, jaccard)"""
+    toks = distinct_tokens(docs, id_col, text_col)
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    l = toks.withColumnRenamed("id", "a")
+    r = toks.withColumnRenamed("id", "b")
+    inter = (
+        l.join(r, "token")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sa"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "sb"), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _docs_as_convs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).cast("string").alias("conv_id"),
+        F.col(text_col).alias("doc"),
+    ).withColumn("norm", normalize_doc_col(F.col("doc")))
+
+
+def signature_dup_pairs(
+    docs: DataFrame,
+    cfg: DedupConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH (+SimHash, +substring) near-dup pairs over a generic
+    documents table: sign -> candidates -> verify. -> (a, b, jaccard,
+    contained, is_dup, sources) with string ids."""
+    cfg = cfg or DedupConfig()
+    convs = _docs_as_convs(docs, id_col, text_col)
+    sigs = compute_signatures(convs, cfg)
+    lsh_pairs, _ = lsh_ops.minhash_lsh_candidates(sigs, cfg.lsh)
+    parts = [lsh_pairs]
+    if cfg.use_simhash:
+        parts.append(
+            lsh_ops.simhash_candidates(sigs, cfg.simhash, cfg.lsh.max_bucket_size)[0]
+        )
+    if cfg.use_substring:
+        parts.append(
+            lsh_ops.substring_candidates(sigs, cfg.lsh.max_bucket_size)[0]
+        )
+    cand = union_candidates(*parts)
+    return verify_pairs(cand, sigs, convs, cfg)

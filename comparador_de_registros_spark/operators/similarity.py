@@ -1,0 +1,160 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* :func:`cosine_topk` — brute-force baseline: native dot product via
+  ``aggregate(zip_with(...))`` (no Python), window top-k. Exact; the
+  correctness oracle for the approximate path.
+* :func:`srp_lsh_buckets` / :func:`srp_topk` — the scale path: signed
+  random projections (Charikar 2002) hash each vector to bit-band
+  bucket keys; candidates are generated per shared band (equi-join, the
+  same physical shape as MinHash-LSH) and re-ranked with the exact
+  cosine. At 100 TB this replaces the O(n*q) scan with bucket joins.
+
+The projection matrix is derived from a seed inside the pandas UDF
+(numpy matmul per Arrow batch) — vectors never leave the JVM except for
+that one batched projection.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Native cosine similarity between two float-array columns."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (brute force).
+
+    ``queries(query_id, embedding)`` x ``embeddings(vec_id, embedding)``
+    -> (query_id, vec_id, cosine, rank), excluding self-matches.
+    The query side is broadcast (queries are few; the corpus is big)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        )
+    )
+    scored = (
+        embeddings.select(id_col, vec_col)
+        .crossJoin(q)
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine_col(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def srp_bits_udf(dim: int, n_bits: int, seed: int):
+    """pandas UDF: embedding -> packed sign-bit fingerprint (long).
+    The Gaussian projection matrix is regenerated from the seed in each
+    worker (deterministic, no broadcast payload)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def _udf(vecs: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_bits))
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series([], dtype="int64")
+        signs = (mat @ planes) > 0
+        weights = (1 << np.arange(n_bits, dtype=np.uint64))
+        packed = (signs.astype(np.uint64) * weights[None, :]).sum(axis=1)
+        return pd.Series(packed.astype(np.int64))
+
+    return _udf
+
+
+def srp_lsh_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_bits: int = 16,
+    bands: int = 4,
+    seed: int = 0xA11CE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (vec_id, band, key): one bucket key per band of sign bits.
+    Two vectors with cosine close to 1 agree on a full band with high
+    probability (P[bit agree] = 1 - theta/pi)."""
+    bits = srp_bits_udf(dim, n_bits, seed)(F.col(vec_col))
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    return embeddings.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(bits, i * width).bitwiseAND(F.lit(mask))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+
+
+def srp_candidate_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    n_bits: int = 16,
+    bands: int = 4,
+    seed: int = 0xA11CE,
+    min_cosine: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate near-duplicate vectors: bucket-join candidates then
+    exact-cosine verify (the embedding-space analogue of MinHash-LSH +
+    Jaccard verify). -> (a, b, cosine) with a < b."""
+    buckets = srp_lsh_buckets(embeddings, dim, n_bits, bands, seed, id_col, vec_col)
+    l = buckets.alias("l")
+    r = buckets.alias("r")
+    cand = (
+        l.join(r, ["band", "key"])
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+        )
+        .distinct()
+    )
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col))
+    withv = (
+        cand.join(vecs.withColumnRenamed(id_col, "a").withColumnRenamed(vec_col, "va"), "a")
+        .join(vecs.withColumnRenamed(id_col, "b").withColumnRenamed(vec_col, "vb"), "b")
+    )
+    return (
+        withv.select(
+            "a", "b", F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine")
+        )
+        .where(F.col("cosine") >= min_cosine)
+    )

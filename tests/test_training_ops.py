@@ -1,0 +1,142 @@
+"""Tests for the training-data operators: text analysis, document
+dedup, similarity search, multimodal plumbing, incremental dedup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from comparador_de_registros_spark.operators import doc_dedup, multimodal, textstats
+from comparador_de_registros_spark.operators.similarity import (
+    cosine_topk,
+    srp_candidate_pairs,
+)
+from comparador_de_registros_spark.operators.signatures import compute_signatures
+from comparador_de_registros_spark.plans.configs import DedupConfig, LshConfig
+from comparador_de_registros_spark.streaming.incremental import (
+    anti_join_resume,
+    incremental_candidates,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog in the morning"),
+    (2, "the quick brown fox jumps over the lazy dog in the evening"),
+    (3, "o paciente de ana maria nao compareceu para a consulta com o medico"),
+    (4, "el paciente no vino a la consulta como estaba previsto por la manana"),
+    (5, "the quick brown fox jumps over the lazy dog in the morning"),  # exact dup of 1
+    (6, "числа и буквы 12345 67890 !!!"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_text_profile(spark, docs):
+    prof = {r["doc_id"]: r for r in textstats.text_profile(docs).collect()}
+    assert prof[1]["lang_guess"] == "en"
+    assert prof[3]["lang_guess"] == "pt"
+    assert prof[4]["lang_guess"] == "es"
+    assert prof[6]["lang_guess"] == "und"
+    assert prof[1]["n_tokens"] == 12
+    assert prof[1]["fingerprint"] == prof[5]["fingerprint"]
+    assert prof[1]["fingerprint"] != prof[2]["fingerprint"]
+    assert 0.0 <= prof[6]["quality"] <= prof[1]["quality"] <= 1.0
+    assert prof[1]["n_subwords"] >= prof[1]["n_tokens"]
+
+
+def test_exact_dup(spark, docs):
+    clusters = doc_dedup.exact_dup_clusters(docs).collect()
+    assert len(clusters) == 1
+    assert clusters[0]["n_docs"] == 2 and clusters[0]["canonical_id"] == 1
+    pairs = doc_dedup.exact_dup_pairs(docs).collect()
+    assert [(p["a"], p["b"]) for p in pairs] == [(1, 5)]
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in doc_dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 5)] == 1.0
+    assert (1, 2) in pairs and pairs[(1, 2)] < 1.0
+    assert (3, 4) not in pairs
+
+
+def test_signature_dup_pairs(spark, docs):
+    cfg = DedupConfig(jaccard_threshold=0.7)
+    verified = doc_dedup.signature_dup_pairs(docs, cfg)
+    dups = {(r["a"], r["b"]) for r in verified.where("is_dup").collect()}
+    assert ("1", "5") in dups
+    assert ("3", "4") not in dups
+
+
+def _embeddings(spark, n=40, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim))
+    # make 1 and 2 near-identical
+    base[1] = base[0] + rng.standard_normal(dim) * 0.01
+    rows = [(i, [float(x) for x in base[i]], i % 3) for i in range(n)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_cosine_topk_exact(spark):
+    emb = _embeddings(spark)
+    queries = emb.where("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = cosine_topk(emb, queries, k=3).collect()
+    assert len(top) == 3
+    assert top[0]["vec_id"] == 1 and top[0]["rank"] == 1  # the planted neighbor
+    assert top[0]["cosine"] > 0.99
+
+
+def test_srp_candidates_find_planted_neighbor(spark):
+    emb = _embeddings(spark)
+    pairs = srp_candidate_pairs(emb, dim=16, min_cosine=0.95).collect()
+    assert any((r["a"], r["b"]) == (0, 1) for r in pairs)
+
+
+def test_multimodal_plumbing(spark):
+    assets = multimodal.generate_fake_assets(spark, n=30)
+    assert assets.count() == 30
+    feats = multimodal.extract_features(assets, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in rows)
+    # determinism
+    again = {r["asset_id"]: r["payload_hash"] for r in
+             multimodal.extract_features(assets, fake=True).collect()}
+    assert {r["asset_id"]: r["payload_hash"] for r in rows} == again
+    frames = multimodal.sample_video_frames(assets, every_ms=500)
+    assert frames.count() > 0
+    assert frames.groupBy("asset_id").count().agg(F.min("count")).collect()[0][0] >= 1
+
+
+def test_multimodal_real_mode_raises(spark):
+    assets = multimodal.generate_fake_assets(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        multimodal.extract_features(assets, fake=False).collect()
+
+
+def test_anti_join_resume(spark):
+    todo = spark.createDataFrame([(1, 2), (3, 4), (5, 6)], ["a", "b"])
+    done = spark.createDataFrame([(1, 2)], ["a", "b"])
+    left = anti_join_resume(todo, done, ["a", "b"]).collect()
+    assert sorted((r["a"], r["b"]) for r in left) == [(3, 4), (5, 6)]
+
+
+def test_incremental_candidates(spark, docs):
+    cfg = DedupConfig()
+    convs = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"), F.col("text").alias("doc")
+    )
+    sigs = compute_signatures(convs, cfg).cache()
+    corpus = sigs.where(F.col("conv_id") != "5")
+    new = sigs.where(F.col("conv_id") == "5")
+    cand = incremental_candidates(new, corpus, cfg.lsh).collect()
+    assert any((r["a"], r["b"]) == ("1", "5") for r in cand)
+    # delta join never emits corpus-vs-corpus pairs
+    assert all("5" in (r["a"], r["b"]) for r in cand)
