@@ -1,0 +1,764 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Each entry in :data:`QUERIES` is a (spark, sf_dir) -> DataFrame callable
+exercising one operator family from SURVEY.md §2 over the driver's
+testdata tables; :data:`ORACLES` holds the equivalent SQL DuckDB runs
+on the same parquet files. Column names/aliases match exactly on both
+sides (the driver hash-compares values per sorted column name).
+
+Float-parity rules used throughout:
+* identical arithmetic expression trees on both sides (same fold order);
+* embeddings cast to double BEFORE multiplication on both sides;
+* big aggregated sums rounded to 2 decimals (absorbs partial-agg
+  reorder noise), similarity scores to 4.
+
+Signature-based queries (MinHash/SimHash/SRP) have no SQL equivalent —
+they are registered without an oracle and get the driver's weaker
+rows-only check; their semantics are pinned by tests/ instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from comparador_de_registros_spark.operators import doc_dedup, textstats
+from comparador_de_registros_spark.operators.cluster import connected_components
+from comparador_de_registros_spark.operators.compare import (
+    date_criteria_cols,
+    locality_criteria_cols,
+)
+from comparador_de_registros_spark.functions.normalize import padroniza_col
+from comparador_de_registros_spark.operators.similarity import (
+    cosine_topk,
+    srp_candidate_pairs,
+)
+from comparador_de_registros_spark.plans.configs import DedupConfig
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+_TOKENS = lambda c: F.filter(  # noqa: E731
+    F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != F.lit("")
+)
+
+_SQL_TOKENS = (
+    "list_filter(string_split_regex(lower(trim({c})), '\\s+'), x -> x <> '')"
+)
+
+# ---------------------------------------------------------------------------
+# A. dedup family (documents)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_dedup.exact_dup_clusters(_read(spark, sf_dir, "documents")).select(
+        "doc_hash", "n_docs", "canonical_id"
+    )
+
+
+SQL_EXACT_DUP_CLUSTERS = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS doc_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS canonical_id
+FROM documents
+GROUP BY 1
+HAVING count(*) >= 2
+"""
+
+
+def q_tokenset_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents whose distinct token sets are identical (J = 1)."""
+    return (
+        doc_dedup.ngram_jaccard_pairs(
+            _read(spark, sf_dir, "documents"), threshold=1.0
+        )
+        .select("a", "b")
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_dedup.ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+def _sql_jaccard(threshold: str, select: str) -> str:
+    return f"""
+WITH dtok AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest({_SQL_TOKENS.format(c='text')}) AS token
+  FROM documents
+),
+sizes AS (SELECT id, count(*) AS sz FROM dtok GROUP BY id),
+inter AS (
+  SELECT l.id AS a, r.id AS b, count(*) AS i
+  FROM dtok l JOIN dtok r USING (token)
+  WHERE l.id < r.id
+  GROUP BY 1, 2
+),
+jacc AS (
+  SELECT a, b,
+         round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON inter.a = sa.id
+  JOIN sizes sb ON inter.b = sb.id
+)
+SELECT {select} FROM jacc WHERE jaccard >= {threshold}
+"""
+
+
+SQL_TOKENSET_DUP_PAIRS = _sql_jaccard("1.0", "a, b")
+SQL_NGRAM_JACCARD_PAIRS = _sql_jaccard("0.8", "a, b, jaccard")
+
+
+def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH + SimHash + substring near-dup pairs (char-8 shingle
+    Jaccard >= 0.8). No SQL oracle (signature stage); pinned by
+    tests/test_dedup_pipeline.py against the brute-force oracle."""
+    verified = doc_dedup.signature_dup_pairs(
+        _read(spark, sf_dir, "documents"), DedupConfig()
+    )
+    return verified.where("is_dup").select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "jaccard",
+    )
+
+
+def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: near-dup clustering of the documents table (signature
+    pairs -> connected components -> singleton attach)."""
+    docs = _read(spark, sf_dir, "documents")
+    verified = doc_dedup.signature_dup_pairs(docs, DedupConfig())
+    edges = verified.where("is_dup").select("a", "b")
+    comp = connected_components(edges)
+    return (
+        docs.select(F.col("doc_id").cast("string").alias("conv_id"))
+        .join(comp, "conv_id", "left")
+        .select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            F.coalesce("cluster_id", F.col("conv_id")).cast("long").alias("cluster_id"),
+        )
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.fingerprint_col(F.col("text")).alias("fingerprint")
+    )
+
+
+SQL_DOC_FINGERPRINTS = """
+SELECT doc_id,
+       substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)
+         AS fingerprint
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# B. text analysis (documents)
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.token_count_col(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+    )
+
+
+SQL_TEXT_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       len({_SQL_TOKENS.format(c='text')}) AS n_tokens,
+       length(text) AS len_chars
+FROM documents
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.lang_id_col(F.col("text")).alias("lang_guess")
+    )
+
+
+def _sql_lang_id() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    hits = {
+        lang: (
+            f"len(list_filter({toks}, x -> x IN "
+            f"({', '.join(repr(w) for w in words)})))"
+        )
+        for lang, words in textstats.LANG_MARKERS.items()
+    }
+    best = f"greatest({hits['en']}, {hits['pt']}, {hits['es']})"
+    # mirror lang_id_col: priority order en, pt, es; 'und' when all zero
+    return f"""
+SELECT doc_id,
+  CASE
+    WHEN {hits['en']} > 0 AND {hits['en']} = {best} THEN 'en'
+    WHEN {hits['pt']} > 0 AND {hits['pt']} = {best} THEN 'pt'
+    WHEN {hits['es']} > 0 AND {hits['es']} = {best} THEN 'es'
+    ELSE 'und'
+  END AS lang_guess
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.quality_score_col(F.col("text")).alias("quality")
+    )
+
+
+def _sql_quality() -> str:
+    toks = _SQL_TOKENS.format(c="text")
+    all_markers = [w for m in textstats.LANG_MARKERS.values() for w in m]
+    stop_hits = (
+        f"len(list_filter({toks}, x -> x IN "
+        f"({', '.join(repr(w) for w in all_markers)})))"
+    )
+    # NOTE: summing per-language hit counts equals filtering on the union
+    # only if the marker lists are disjoint — they are (asserted in tests).
+    return f"""
+SELECT doc_id,
+  round((
+    least(length(text) / 200.0, 1.0)
+    + least({stop_hits} / greatest(len({toks}), 1) * 4.0, 1.0)
+    + (1 - least(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+                 / greatest(length(text), 1) * 5.0, 1.0))
+    + (1 - least(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 / greatest(length(text), 1) * 5.0, 1.0))
+  ) / 4.0, 6) AS quality
+FROM documents
+"""
+
+
+def q_padroniza_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat token-frequency table (SURVEY §2.4) over padronized text."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(padroniza_col(F.col("text")), " "), lambda t: t != F.lit("")
+    )
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# padroniza in SQL: testdata text is ASCII so the accent fold is a no-op;
+# strip non-[a-z0-9 ], drop pt particles, strip one kinship suffix.
+_SQL_PADRONIZA = """
+trim(regexp_replace(
+  array_to_string(
+    list_filter(
+      string_split_regex(
+        regexp_replace(lower(trim({c})), '[^a-z0-9\\s]', '', 'g'),
+        '\\s+'),
+      x -> x <> '' AND x NOT IN ('de','do','da','dos','das')),
+    ' '),
+  ' (junior|jr|neto|bisneto|filho|filha|sobrinha|sobrinho|segundo|terceiro)$',
+  ''))
+"""
+
+SQL_PADRONIZA_TOKEN_FREQ = f"""
+WITH p AS (SELECT {_SQL_PADRONIZA.format(c='text')} AS p FROM documents),
+toks AS (
+  SELECT unnest(list_filter(string_split(p, ' '), x -> x <> '')) AS token
+  FROM p WHERE p <> ''
+)
+SELECT token, count(*) AS cnt FROM toks GROUP BY token
+"""
+
+# ---------------------------------------------------------------------------
+# C. comparator family over derived pairs (dates, locality, names)
+# ---------------------------------------------------------------------------
+
+_DATE_CRITERIA_NAMES = ("dt_iguais", "dt_ap_1digi", "dt_inv_dia", "dt_inv_mes", "dt_inv_ano")
+
+
+def q_compare_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tipo D comparator (native) over consecutive-order date pairs."""
+    o = _read(spark, sf_dir, "orders")
+    o1 = o.select(
+        F.col("o_orderkey").alias("key_a"),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("d1"),
+    )
+    o2 = o.select(
+        (F.col("o_orderkey") - 1).alias("key_a"),
+        F.col("o_orderkey").alias("key_b"),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("d2"),
+    )
+    pairs = o1.join(o2, "key_a")
+    crits = date_criteria_cols(F.col("d1"), F.col("d2"))
+    return pairs.select(
+        "key_a",
+        "key_b",
+        *[c.alias(n) for c, n in zip(crits, _DATE_CRITERIA_NAMES)],
+    )
+
+
+SQL_COMPARE_DATES = """
+WITH p AS (
+  SELECT o1.o_orderkey AS key_a, o2.o_orderkey AS key_b,
+         strftime(o1.o_orderdate, '%Y%m%d') AS d1,
+         strftime(o2.o_orderdate, '%Y%m%d') AS d2
+  FROM orders o1 JOIN orders o2 ON o2.o_orderkey = o1.o_orderkey + 1
+)
+SELECT key_a, key_b,
+  CASE WHEN d1 = d2 THEN 1.0 ELSE 0.0 END AS dt_iguais,
+  CASE WHEN levenshtein(d1, d2) = 1 THEN 1.0 ELSE 0.0 END AS dt_ap_1digi,
+  CASE WHEN levenshtein(d1, d2) = 2
+        AND reverse(substr(d1, 7, 2)) = substr(d2, 7, 2)
+       THEN 1.0 ELSE 0.0 END AS dt_inv_dia,
+  CASE WHEN levenshtein(d1, d2) = 2
+        AND reverse(substr(d1, 7, 2)) <> substr(d2, 7, 2)
+        AND reverse(substr(d1, 5, 2)) = substr(d2, 5, 2)
+       THEN 1.0 ELSE 0.0 END AS dt_inv_mes,
+  CASE WHEN levenshtein(d1, d2) = 2
+        AND reverse(substr(d1, 7, 2)) <> substr(d2, 7, 2)
+        AND reverse(substr(d1, 5, 2)) <> substr(d2, 5, 2)
+        AND levenshtein(substr(d1, 1, 4), substr(d2, 1, 4)) = 2
+        AND array_to_string(list_sort(string_split(substr(d1, 1, 4), '')), '')
+          = array_to_string(list_sort(string_split(substr(d2, 1, 4), '')), '')
+       THEN 1.0 ELSE 0.0 END AS dt_inv_ano
+FROM p
+"""
+
+_LOC_CRITERIA_NAMES = ("uf_igual", "uf_prox", "local_igual", "local_prox")
+
+
+def _loc_codes(c):
+    """Derived 6-char locality codes: digits-only numeric part (keeps
+    the soundex fallback branch unreachable => SQL-expressible) and a
+    2-letter UF from a fixed set."""
+    uf1 = (
+        F.when(c % 3 == 0, "SP").when(c % 3 == 1, "RJ").otherwise("MG")
+    )
+    uf2 = (
+        F.when(c % 5 == 0, "SQ").when(c % 5 == 1, "RJ").when(c % 5 == 2, "SP")
+        .when(c % 5 == 3, "MG").otherwise(uf1)
+    )
+    cod1 = F.lpad(((c * 7) % 10000).cast("string"), 4, "0")
+    cod2 = F.lpad(((c * 7 + (c % 3)) % 10000).cast("string"), 4, "0")
+    return F.concat(uf1, cod1), F.concat(uf2, cod2)
+
+
+def q_compare_localities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    c = F.col("c_custkey")
+    l1, l2 = _loc_codes(c)
+    base = cust.select(c.alias("c_custkey"), l1.alias("loc_a"), l2.alias("loc_b"))
+    crits = locality_criteria_cols(F.col("loc_a"), F.col("loc_b"))
+    return base.select(
+        "c_custkey",
+        "loc_a",
+        "loc_b",
+        *[cc.alias(n) for cc, n in zip(crits, _LOC_CRITERIA_NAMES)],
+    )
+
+
+SQL_COMPARE_LOCALITIES = """
+WITH codes AS (
+  SELECT c_custkey,
+    (CASE c_custkey % 3 WHEN 0 THEN 'SP' WHEN 1 THEN 'RJ' ELSE 'MG' END)
+      AS uf1,
+    (CASE c_custkey % 5 WHEN 0 THEN 'SQ' WHEN 1 THEN 'RJ' WHEN 2 THEN 'SP'
+          WHEN 3 THEN 'MG'
+          ELSE (CASE c_custkey % 3 WHEN 0 THEN 'SP' WHEN 1 THEN 'RJ' ELSE 'MG' END)
+     END) AS uf2,
+    lpad(((c_custkey * 7) % 10000)::VARCHAR, 4, '0') AS cod1,
+    lpad(((c_custkey * 7 + (c_custkey % 3)) % 10000)::VARCHAR, 4, '0') AS cod2
+  FROM customer
+)
+SELECT c_custkey,
+  uf1 || cod1 AS loc_a,
+  uf2 || cod2 AS loc_b,
+  CASE WHEN uf1 = uf2 THEN 1.0 ELSE 0.0 END AS uf_igual,
+  -- 2-char UFs with edit distance 2 differ in the first letter, so the
+  -- soundex fallback (0.3) is unreachable: lev 1 is the only near case
+  CASE WHEN uf1 <> uf2 AND levenshtein(uf1, uf2) = 1 THEN 0.5 ELSE 0.0 END
+    AS uf_prox,
+  CASE WHEN cod1 = cod2 THEN 1.0 ELSE 0.0 END AS local_igual,
+  CASE WHEN cod1 <> cod2 AND levenshtein(cod1, cod2) = 1 THEN 0.8
+       WHEN cod1 <> cod2 AND levenshtein(cod1, cod2) = 2 THEN 0.5
+       ELSE 0.0 END AS local_prox
+FROM codes
+"""
+
+_NAME_CRITERIA_NAMES = ("prim_frag_igual", "ult_frag_igual", "qtd_frag_iguais", "qtd_frag_abrev")
+
+
+def q_compare_names_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tipo N criteria 1-3 + abbreviation bonus, fully native, over part
+    names vs their first-word-abbreviated variants (the frequency and
+    soundex criteria need broadcast maps / phonetics — covered by the
+    pandas-UDF engine and its parity tests, not SQL-expressible)."""
+    part = _read(spark, sf_dir, "part")
+    name_a = F.lower(F.trim(F.col("p_name")))
+    name_b = F.regexp_replace(name_a, "^([a-z])[a-z]+", "$1")
+    base = part.select(
+        "p_partkey", name_a.alias("name_a"), name_b.alias("name_b")
+    )
+    p1, p2 = _TOKENS(F.col("name_a")), _TOKENS(F.col("name_b"))
+    t1 = F.size(p1)
+    inter = F.size(F.filter(p1, lambda x: F.array_contains(p2, x)))
+    ab1 = F.size(
+        F.filter(
+            p1,
+            lambda x: (F.length(x) == 1)
+            & F.exists(p2, lambda y: y.startswith(x)),
+        )
+    )
+    ab2 = F.size(
+        F.filter(
+            p2,
+            lambda x: (F.length(x) == 1)
+            & F.exists(p1, lambda y: y.startswith(x)),
+        )
+    )
+    return base.select(
+        "p_partkey",
+        F.when(F.element_at(p1, 1) == F.element_at(p2, 1), 1.0)
+        .otherwise(0.0)
+        .alias("prim_frag_igual"),
+        F.when(F.element_at(p1, -1) == F.element_at(p2, -1), 1.0)
+        .otherwise(0.0)
+        .alias("ult_frag_igual"),
+        (inter / t1).alias("qtd_frag_iguais"),
+        ((ab1 + ab2) / t1 * 0.5).alias("qtd_frag_abrev"),
+    )
+
+
+def _sql_compare_names() -> str:
+    p1 = _SQL_TOKENS.format(c="name_a")
+    p2 = _SQL_TOKENS.format(c="name_b")
+    return f"""
+WITH base AS (
+  SELECT p_partkey,
+         lower(trim(p_name)) AS name_a,
+         regexp_replace(lower(trim(p_name)), '^([a-z])[a-z]+', '\\1') AS name_b
+  FROM part
+),
+toks AS (
+  SELECT p_partkey, {p1} AS p1, {p2} AS p2 FROM base
+)
+SELECT p_partkey,
+  CASE WHEN p1[1] = p2[1] THEN 1.0 ELSE 0.0 END AS prim_frag_igual,
+  CASE WHEN p1[-1] = p2[-1] THEN 1.0 ELSE 0.0 END AS ult_frag_igual,
+  len(list_filter(p1, x -> list_contains(p2, x))) / len(p1)
+    AS qtd_frag_iguais,
+  (len(list_filter(p1, x -> length(x) = 1
+       AND len(list_filter(p2, y -> starts_with(y, x))) > 0))
+   + len(list_filter(p2, x -> length(x) = 1
+       AND len(list_filter(p1, y -> starts_with(y, x))) > 0)))
+  / len(p1) * 0.5 AS qtd_frag_abrev
+FROM toks
+"""
+
+# ---------------------------------------------------------------------------
+# D. analytics family (scan/agg/join/window/sort coverage)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation (map-side partial agg, one shuffle)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join + top-n with deterministic tiebreak."""
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_CUSTOMER_REVENUE = """
+SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+def q_orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window running sum (ordered in-partition fold => deterministic)."""
+    orders = _read(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.where(F.col("o_custkey") % 100 == 0).select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+SQL_ORDERS_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+  AS running_total
+FROM orders
+WHERE o_custkey % 100 = 0
+"""
+
+
+def q_events_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversation-assembly operator shape on the events table:
+    per-user event-type stream concatenated in (ts, event_id) order —
+    the same array_sort(collect_list(struct)) pattern as
+    operators/assembly.py."""
+    ev = _read(spark, sf_dir, "events")
+    assembled = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("s"),
+        F.count("*").alias("n_events"),
+    )
+    return assembled.select(
+        "user_id",
+        F.array_join(F.transform("s", lambda x: x["event_type"]), "|").alias(
+            "event_stream"
+        ),
+        "n_events",
+    )
+
+
+SQL_EVENTS_ASSEMBLY = """
+SELECT user_id,
+       string_agg(event_type, '|' ORDER BY ts, event_id) AS event_stream,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_events_minute_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("minute", "ts").alias("minute"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_MINUTE_STATS = """
+SELECT date_trunc('minute', ts) AS minute, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-fact broadcast join + aggregation by part type."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_PART_TYPE_REVENUE = """
+SELECT p_type,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+"""
+
+
+def q_nation_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region -> nation -> customer 3-way join."""
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+SQL_NATION_CUSTOMER_COUNTS = """
+SELECT r_name, n_name, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+# ---------------------------------------------------------------------------
+# E. similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = cosine_topk(emb, queries, k=5)
+    return top.select(
+        "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
+SQL_COSINE_TOPK = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    list_sum(list_transform(list_zip(qv, v), p -> p[1] * p[2]))
+      / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+         * sqrt(list_sum(list_transform(v, x -> x * x)))) AS c
+  FROM q JOIN e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)
+           AS rank,
+         round(round(c, 6), 4) AS cosine
+  FROM scored
+)
+SELECT query_id, vec_id, rank, cosine FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (SRP-LSH bucketed) near-duplicate vectors; no SQL
+    oracle (random-projection signatures) — exactness pinned by
+    tests/test_training_ops.py against the brute-force path."""
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return srp_candidate_pairs(emb, dim=dim, min_cosine=0.4)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # dedup family
+    "exact_dup_clusters": q_exact_dup_clusters,
+    "tokenset_dup_pairs": q_tokenset_dup_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_dup_pairs": q_minhash_dup_pairs,
+    "doc_dedup_clusters": q_doc_dedup_clusters,
+    "doc_fingerprints": q_doc_fingerprints,
+    # text analysis
+    "text_token_counts": q_text_token_counts,
+    "text_lang_id": q_text_lang_id,
+    "text_quality": q_text_quality,
+    "padroniza_token_freq": q_padroniza_token_freq,
+    # comparators
+    "compare_dates": q_compare_dates,
+    "compare_localities": q_compare_localities,
+    "compare_names_basic": q_compare_names_basic,
+    # analytics
+    "pricing_summary": q_pricing_summary,
+    "top_customer_revenue": q_top_customer_revenue,
+    "orders_running_total": q_orders_running_total,
+    "events_assembly": q_events_assembly,
+    "events_minute_stats": q_events_minute_stats,
+    "part_type_revenue": q_part_type_revenue,
+    "nation_customer_counts": q_nation_customer_counts,
+    # similarity
+    "cosine_topk": q_cosine_topk,
+    "embedding_near_pairs": q_embedding_near_pairs,
+}
+
+ORACLES: dict[str, str] = {
+    "exact_dup_clusters": SQL_EXACT_DUP_CLUSTERS,
+    "tokenset_dup_pairs": SQL_TOKENSET_DUP_PAIRS,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "doc_fingerprints": SQL_DOC_FINGERPRINTS,
+    "text_token_counts": SQL_TEXT_TOKEN_COUNTS,
+    "text_lang_id": _sql_lang_id(),
+    "text_quality": _sql_quality(),
+    "padroniza_token_freq": SQL_PADRONIZA_TOKEN_FREQ,
+    "compare_dates": SQL_COMPARE_DATES,
+    "compare_localities": SQL_COMPARE_LOCALITIES,
+    "compare_names_basic": _sql_compare_names(),
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_customer_revenue": SQL_TOP_CUSTOMER_REVENUE,
+    "orders_running_total": SQL_ORDERS_RUNNING_TOTAL,
+    "events_assembly": SQL_EVENTS_ASSEMBLY,
+    "events_minute_stats": SQL_EVENTS_MINUTE_STATS,
+    "part_type_revenue": SQL_PART_TYPE_REVENUE,
+    "nation_customer_counts": SQL_NATION_CUSTOMER_COUNTS,
+    "cosine_topk": SQL_COSINE_TOPK,
+    # minhash_dup_pairs / doc_dedup_clusters / embedding_near_pairs:
+    # signature-based, not SQL-expressible -> rows-only driver check.
+}
