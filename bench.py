@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + the transcript dedup pipeline.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>, ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  BENCH_N_BASE         synthetic transcript base conversations
+                       (default 2500 -> ~4000 convs / ~40k turns)
+  BENCH_SKIP_PIPELINE  "1" to benchmark only the testdata queries
+
+The transcript pipeline benchmark generates its deterministic input
+once under .bench_cache/ (seeded; identical across runs) and measures
+assemble -> exact -> sign -> candidates -> verify -> cluster wall time;
+throughput is reported as turns/sec (the north_rule metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from comparador_de_registros_spark.conf import build_spark
+from comparador_de_registros_spark.operators.pipeline import DedupPipeline
+from comparador_de_registros_spark.plans.configs import DedupConfig
+from comparador_de_registros_spark.sources import transcripts as tg
+from comparador_de_registros_spark.sources.catalog import ParquetCatalog
+from comparador_de_registros_spark.queries import QUERIES
+
+# Scale-path queries only: the quadratic inverted-index token joins
+# (ngram_jaccard_pairs / tokenset_dup_pairs) are small-scale verifiers
+# by design (their docstrings say so) and are covered by the
+# correctness gate, not the bench.
+BENCH_QUERY_NAMES = [
+    "doc_dedup_clusters",
+    "minhash_dup_pairs",
+    "text_quality",
+    "padroniza_token_freq",
+    "compare_dates",
+    "compare_names_basic",
+    "pricing_summary",
+    "part_type_revenue",
+    "top_customer_revenue",
+    "events_assembly",
+    "events_minute_stats",
+    "cosine_topk",
+    "embedding_near_pairs",
+]
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_cache")
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def ensure_bench_transcripts(spark, n_base: int) -> tuple[str, int]:
+    """Generate (once) the deterministic transcript input; return its
+    path and turn count."""
+    path = os.path.join(CACHE, f"transcripts_{n_base}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        spec = tg.TranscriptSpec(n_base=n_base, seed=42)
+        turns = tg.generate_transcripts(spark, spec)
+        turns.write.mode("overwrite").parquet(path)
+    n_turns = spark.read.parquet(path).count()
+    return path, n_turns
+
+
+def run_pipeline_bench(spark, n_base: int) -> dict:
+    turns_path, n_turns = ensure_bench_transcripts(spark, n_base)
+    turns = spark.read.parquet(turns_path)
+    workdir = os.path.join(CACHE, f"pipe_{n_base}_{os.getpid()}")
+    shutil.rmtree(workdir, ignore_errors=True)
+    catalog = ParquetCatalog(workdir)
+    pipe = DedupPipeline(catalog=catalog, cfg=DedupConfig(), run_id="bench")
+    t0 = time.time()
+    clusters = pipe.run(spark, turns)
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    elapsed = time.time() - t0
+    shutil.rmtree(workdir, ignore_errors=True)
+    return {
+        "pipeline_sec": round(elapsed, 3),
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / elapsed, 1),
+        "n_clusters": n_clusters,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_base = int(os.environ.get("BENCH_N_BASE", "2500"))
+    spark = build_spark(app_name="cdr-bench", master=f"local[{cpus}]")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERY_NAMES:
+        q = QUERIES[name]
+        t0 = time.time()
+        n = q(spark, sf_dir).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr, flush=True)
+
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "cpus": int(cpus),
+    }
+
+    if os.environ.get("BENCH_SKIP_PIPELINE") != "1":
+        pipe_stats = run_pipeline_bench(spark, n_base)
+        result.update(pipe_stats)
+        result["queries"]["transcript_pipeline"] = pipe_stats["pipeline_sec"]
+        result["value"] = round(total + pipe_stats["pipeline_sec"], 3)
+
+    print(json.dumps(result), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -267,4 +267,6 @@ class DedupPipeline:
                 self.stage_cluster(spark)
             else:
                 raise ValueError(f"unknown stage {stage}")
-        return self.catalog.read(spark, T_CLUSTERS)
+        if self.catalog.exists(T_CLUSTERS):
+            return self.catalog.read(spark, T_CLUSTERS)
+        return None

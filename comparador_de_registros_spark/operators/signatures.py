@@ -56,6 +56,15 @@ def compute_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seeds = H.make_seeds(mh_cfg.num_perm, mh_cfg.seed)
+        token_hash_cache: dict[str, int] = {}
+
+        def tok_hash(t: str) -> int:
+            h = token_hash_cache.get(t)
+            if h is None:
+                h = H.hash_bytes(t.encode("utf-8"), sim_seed)
+                token_hash_cache[t] = h
+            return h
+
         for pdf in batches:
             out = {
                 "conv_id": pdf["conv_id"],
@@ -73,10 +82,7 @@ def compute_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
                     sh = H.word_shingles(text, shingle_cfg.k, shingle_cfg.seed)
                 sig = H.minhash_signature(sh, seeds)
                 tok_hashes = np.array(
-                    [
-                        H.hash_bytes(t.encode("utf-8"), sim_seed)
-                        for t in set(text.split())
-                    ],
+                    [tok_hash(t) for t in set(text.split())],
                     dtype=np.uint64,
                 )
                 sim = H.simhash64(tok_hashes)

@@ -25,7 +25,11 @@ class ShingleConfig:
     ``kind='word'`` hashes k-token windows."""
 
     kind: str = "char"
-    k: int = 8
+    # 12-byte char grams: small enough that 1-2 token edits keep J >= 0.9
+    # on real-length conversations, large enough that reordering turns
+    # (boundary-crossing grams rewritten) lands clearly under the 0.8
+    # threshold — the stable-turn-ordering invariant stays observable.
+    k: int = 12
     seed: int = 0x5EED_5EED
 
     def __post_init__(self) -> None:

@@ -47,12 +47,38 @@ TURNS_SCHEMA = T.StructType(
 
 _FIRST = ["ana", "joao", "maria", "carlos", "paula", "bruno", "carla", "jose", "lucia", "pedro"]
 _LAST = ["silva", "souza", "oliveira", "santos", "pereira", "costa", "almeida", "rocha"]
-_WORDS = (
+_DOMAIN_WORDS = (
     "consulta paciente registro sistema cadastro hospital resultado exame "
     "agendamento retorno receita medicamento dosagem historico relatorio "
     "atendimento prontuario liberado pendente confirmado aguardando analise "
     "verificar atualizar endereco telefone contato responsavel unidade setor"
 ).split()
+
+
+def _build_vocab(size: int = 1600, seed: int = 7) -> list[str]:
+    """Deterministic pseudo-word vocabulary. Real transcripts draw from
+    tens of thousands of distinct words; a tiny vocabulary makes every
+    random conversation pair share most shingles (pathologically high
+    background Jaccard) and melts LSH into an all-pairs join, so the
+    fixture must have realistic lexical entropy."""
+    onsets = ["b", "c", "d", "f", "g", "j", "l", "m", "n", "p", "r", "s", "t", "v", "br", "cl", "fr", "gr", "pr", "tr"]
+    nuclei = ["a", "e", "i", "o", "u", "ao", "ei", "ia", "ou"]
+    codas = ["", "l", "m", "n", "r", "s", "z"]
+    rng = np.random.default_rng(seed)
+    vocab: set[str] = set(_DOMAIN_WORDS)
+    while len(vocab) < size:
+        n_syll = int(rng.integers(2, 4))
+        word = "".join(
+            onsets[int(rng.integers(0, len(onsets)))]
+            + nuclei[int(rng.integers(0, len(nuclei)))]
+            + (codas[int(rng.integers(0, len(codas)))] if s == n_syll - 1 else "")
+            for s in range(n_syll)
+        )
+        vocab.add(word)
+    return sorted(vocab)
+
+
+_WORDS = _build_vocab()
 _STREETS = ["rua das flores", "av brasil", "travessa alpha", "rua dos andradas", "al santos"]
 _ROLES = ["user", "assistant", "tool"]
 _TOOLS = ["", "", "", "lookup", "scheduler"]
@@ -79,12 +105,26 @@ def _conv_rng(spec: TranscriptSpec, index: int) -> np.random.Generator:
 
 
 def _base_turns(spec: TranscriptSpec, base: int) -> list[str]:
-    """The turn texts of base conversation ``base`` (deterministic)."""
+    """The turn texts of base conversation ``base`` (deterministic).
+
+    Word counts per turn are biased by the base's planted class so each
+    class exercises what it is for at the default shingle config:
+    decoy-class conversations get SHORT turns (turn reordering then
+    rewrites a large fraction of char shingles -> clearly below the
+    Jaccard threshold), near-dup-class get LONG turns (token edits stay
+    a small fraction -> clearly above it)."""
     rng = _conv_rng(spec, base)
     n_turns = int(rng.integers(spec.min_turns, spec.max_turns + 1))
+    kind = truth_kind(base)
+    if kind == "decoy":
+        lo, hi = 3, 4
+    elif kind == "near":
+        lo, hi = spec.max_words, spec.max_words + 4
+    else:
+        lo, hi = spec.min_words, spec.max_words
     turns = []
     for t in range(n_turns):
-        n_words = int(rng.integers(spec.min_words, spec.max_words + 1))
+        n_words = int(rng.integers(lo, hi + 1))
         words = list(rng.choice(_WORDS, size=n_words))
         # sprinkle reference-comparator-shaped tokens (FIXTURES.md §1)
         roll = int(rng.integers(0, 6))
