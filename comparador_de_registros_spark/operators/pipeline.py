@@ -16,8 +16,9 @@ Stage graph (each stage reads only its upstream checkpoint tables):
 
 Resume semantics: a stage with an existing ``_SUCCESS``-marked output is
 skipped (``resume=True``), so a killed run restarts at the first
-incomplete stage. Metrics rows are appended to the ``metrics`` table
-keyed by (run_id, stage).
+incomplete stage. Metrics are collected with the Observation API —
+piggybacked on the checkpoint write job itself, zero extra actions —
+and appended to the ``metrics`` table keyed by (run_id, stage).
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from comparador_de_registros_spark.operators import lsh as lsh_ops
@@ -54,13 +55,39 @@ T_CLUSTERS = "clusters"
 T_METRICS = "metrics"
 
 
+def _count_if(cond: Column) -> Column:
+    return F.sum(F.when(cond, 1).otherwise(0))
+
+
 @dataclass
 class DedupPipeline:
     catalog: Catalog
     cfg: DedupConfig = field(default_factory=DedupConfig)
     run_id: str = "run0"
 
-    # --- metrics -----------------------------------------------------------
+    # --- helpers -------------------------------------------------------------
+
+    def _write_observed(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        table: str,
+        stage: str,
+        metric_cols: dict[str, Column],
+        repartition_by: str | None = None,
+        num_files: int | None = None,
+    ) -> None:
+        """Write a stage output with metrics observed during the SAME
+        job (no extra actions), then persist the metrics row."""
+        obs = Observation(f"{self.run_id}_{stage}")
+        df = df.observe(
+            obs, *[c.alias(name) for name, c in metric_cols.items()]
+        )
+        if repartition_by is not None:
+            df = df.repartition(repartition_by)
+        self.catalog.write(df, table, num_files=num_files)
+        metrics = {k: float(v if v is not None else 0) for k, v in obs.get.items()}
+        self._log_metrics(spark, stage, metrics)
 
     def _log_metrics(self, spark: SparkSession, stage: str, rows: dict[str, float]):
         data = [
@@ -80,15 +107,17 @@ class DedupPipeline:
         )
         # explicit partitioning: spread by conv_id hash for even Arrow
         # batches downstream
-        self.catalog.write(docs.repartition("conv_id"), T_DOCS)
-        d = self.catalog.read(spark, T_DOCS)
-        self._log_metrics(
+        self._write_observed(
             spark,
+            docs,
+            T_DOCS,
             "assemble",
             {
-                "n_docs": d.count(),
-                "n_turns": turns.count(),
+                "n_docs": F.count(F.lit(1)),
+                "n_turns": F.sum("n_turns"),
+                "sum_chars": F.sum("n_chars"),
             },
+            repartition_by="conv_id",
         )
 
     def stage_exact(self, spark: SparkSession) -> None:
@@ -100,14 +129,14 @@ class DedupPipeline:
         exact_map = hashed.join(reps, "doc_hash").select(
             "conv_id", "rep_id", "doc_hash"
         )
-        self.catalog.write(exact_map, T_EXACT)
-        em = self.catalog.read(spark, T_EXACT)
-        self._log_metrics(
+        self._write_observed(
             spark,
+            exact_map,
+            T_EXACT,
             "exact",
             {
-                "n_reps": em.select("rep_id").distinct().count(),
-                "n_exact_members": em.where(F.col("conv_id") != F.col("rep_id")).count(),
+                "n_reps": _count_if(F.col("conv_id") == F.col("rep_id")),
+                "n_exact_members": _count_if(F.col("conv_id") != F.col("rep_id")),
             },
         )
 
@@ -120,15 +149,16 @@ class DedupPipeline:
             "left_semi",
         )
         sigs = compute_signatures(reps, self.cfg)
-        self.catalog.write(sigs.repartition("conv_id"), T_SIGN)
-        s = self.catalog.read(spark, T_SIGN)
-        self._log_metrics(
+        self._write_observed(
             spark,
+            sigs,
+            T_SIGN,
             "sign",
             {
-                "n_signed": s.count(),
-                "avg_shingles": s.agg(F.avg("n_shingles")).collect()[0][0] or 0.0,
+                "n_signed": F.count(F.lit(1)),
+                "avg_shingles": F.avg("n_shingles"),
             },
+            repartition_by="conv_id",
         )
 
     def stage_candidates(self, spark: SparkSession) -> None:
@@ -157,36 +187,48 @@ class DedupPipeline:
                 )
             )
         cand = union_candidates(*parts)
-        self.catalog.write(cand, T_CAND)
+        metric_cols = {
+            "n_candidates": F.count(F.lit(1)),
+            "n_candidates_lsh": _count_if(F.array_contains("sources", "lsh")),
+        }
+        if self.cfg.use_simhash:
+            metric_cols["n_candidates_simhash"] = _count_if(
+                F.array_contains("sources", "simhash")
+            )
+        if self.cfg.use_substring:
+            metric_cols["n_candidates_substring"] = _count_if(
+                F.array_contains("sources", "substring")
+            )
+        self._write_observed(spark, cand, T_CAND, "candidates", metric_cols)
+
         dropped = drops[0]
         for d in drops[1:]:
             dropped = dropped.unionByName(d)
-        self.catalog.write(dropped, T_DROPPED, num_files=1)
-
-        c = self.catalog.read(spark, T_CAND)
-        dr = self.catalog.read(spark, T_DROPPED)
-        metrics = {"n_candidates": c.count()}
-        for r in (
-            c.select(F.explode("sources").alias("s")).groupBy("s").count().collect()
-        ):
-            metrics[f"n_candidates_{r['s']}"] = r["count"]
-        for r in dr.groupBy("generator").agg(F.count("*").alias("n")).collect():
-            metrics[f"n_dropped_buckets_{r['generator']}"] = r["n"]
-        self._log_metrics(spark, "candidates", metrics)
+        self._write_observed(
+            spark,
+            dropped,
+            T_DROPPED,
+            "candidates_dropped",
+            {
+                "n_dropped_buckets": F.count(F.lit(1)),
+                "n_dropped_members": F.coalesce(F.sum("sz"), F.lit(0)),
+            },
+            num_files=1,
+        )
 
     def stage_verify(self, spark: SparkSession) -> None:
         cand = self.catalog.read(spark, T_CAND)
         sigs = self.catalog.read(spark, T_SIGN)
         docs = self.catalog.read(spark, T_DOCS)
         verified = verify_pairs(cand, sigs, docs, self.cfg)
-        self.catalog.write(verified, T_VERIFIED)
-        v = self.catalog.read(spark, T_VERIFIED)
-        self._log_metrics(
+        self._write_observed(
             spark,
+            verified,
+            T_VERIFIED,
             "verify",
             {
-                "n_verified_dups": v.where("is_dup").count(),
-                "n_rejected": v.where(~F.col("is_dup")).count(),
+                "n_verified_dups": _count_if(F.col("is_dup")),
+                "n_rejected": _count_if(~F.col("is_dup")),
             },
         )
 
@@ -209,20 +251,18 @@ class DedupPipeline:
                 F.coalesce("cluster_id", F.col("conv_id")).alias("cluster_id"),
             )
         )
-        self.catalog.write(clusters.repartition("cluster_id"), T_CLUSTERS)
-        cl = self.catalog.read(spark, T_CLUSTERS)
-        self._log_metrics(
+        self._write_observed(
             spark,
+            clusters,
+            T_CLUSTERS,
             "cluster",
             {
-                "n_clusters": cl.select("cluster_id").distinct().count(),
-                "n_clustered_convs": cl.count(),
-                "n_nonsingleton_members": cl.groupBy("cluster_id")
-                .count()
-                .where("count > 1")
-                .agg(F.coalesce(F.sum("count"), F.lit(0)))
-                .collect()[0][0],
+                "n_clustered_convs": F.count(F.lit(1)),
+                # min-label CC: exactly one root (cluster_id == conv_id)
+                # per cluster, so this counts clusters without a distinct
+                "n_clusters": _count_if(F.col("cluster_id") == F.col("conv_id")),
             },
+            repartition_by="cluster_id",
         )
 
     # --- driver ------------------------------------------------------------
@@ -233,13 +273,13 @@ class DedupPipeline:
         turns: DataFrame | None = None,
         stages: tuple[str, ...] = STAGES,
         resume: bool = False,
-    ) -> DataFrame:
-        """Run (a suffix of) the pipeline; returns the clusters table.
+    ) -> DataFrame | None:
+        """Run (a suffix of) the pipeline; returns the clusters table if
+        it exists afterwards.
 
         ``resume=True`` skips stages whose checkpoint already exists —
-        the anti-join-free variant of resume: stage outputs are
-        idempotent whole-table writes, so restart granularity is the
-        stage (SURVEY.md §2.10/§4)."""
+        stage outputs are idempotent whole-table writes, so restart
+        granularity is the stage (SURVEY.md §2.10/§4)."""
         outputs = {
             "assemble": T_DOCS,
             "exact": T_EXACT,
@@ -248,6 +288,13 @@ class DedupPipeline:
             "verify": T_VERIFIED,
             "cluster": T_CLUSTERS,
         }
+        runners = {
+            "exact": self.stage_exact,
+            "sign": self.stage_sign,
+            "candidates": self.stage_candidates,
+            "verify": self.stage_verify,
+            "cluster": self.stage_cluster,
+        }
         for stage in stages:
             if resume and self.catalog.exists(outputs[stage]):
                 continue
@@ -255,16 +302,8 @@ class DedupPipeline:
                 if turns is None:
                     raise ValueError("assemble stage requires the turns DataFrame")
                 self.stage_assemble(spark, turns)
-            elif stage == "exact":
-                self.stage_exact(spark)
-            elif stage == "sign":
-                self.stage_sign(spark)
-            elif stage == "candidates":
-                self.stage_candidates(spark)
-            elif stage == "verify":
-                self.stage_verify(spark)
-            elif stage == "cluster":
-                self.stage_cluster(spark)
+            elif stage in runners:
+                runners[stage](spark)
             else:
                 raise ValueError(f"unknown stage {stage}")
         if self.catalog.exists(T_CLUSTERS):
