@@ -55,18 +55,21 @@ _SINGLE = {
 
 
 def _build_translate_table() -> tuple[str, str]:
-    """Precomposed Latin char -> ASCII base letter, via NFKD."""
+    """Precomposed char -> single ASCII via NFKD, over Latin-1
+    Supplement (incl. ordinal indicators º/ª and superscript digits),
+    Latin Extended-A/B, and Latin Extended Additional (Vietnamese)."""
     src: list[str] = []
     dst: list[str] = []
-    for cp in range(0x00C0, 0x0250):
-        ch = chr(cp)
-        if ch in _MULTI or ch in _SINGLE:
-            continue
-        decomp = unicodedata.normalize("NFKD", ch)
-        base = "".join(c for c in decomp if not unicodedata.combining(c))
-        if len(base) == 1 and base != ch and base.isascii() and base.isalpha():
-            src.append(ch)
-            dst.append(base)
+    for lo, hi in ((0x00A0, 0x0250), (0x1E00, 0x1F00)):
+        for cp in range(lo, hi):
+            ch = chr(cp)
+            if ch in _MULTI or ch in _SINGLE:
+                continue
+            decomp = unicodedata.normalize("NFKD", ch)
+            base = "".join(c for c in decomp if not unicodedata.combining(c))
+            if len(base) == 1 and base != ch and base.isascii() and base.isalnum():
+                src.append(ch)
+                dst.append(base)
     for ch, base in _SINGLE.items():
         src.append(ch)
         dst.append(base)
@@ -81,12 +84,17 @@ _COMBINING_RE = "[̀-ͯ]"
 
 @lru_cache(maxsize=8192)
 def _fold_char(ch: str) -> str:
+    """Mirrors the Spark expression EXACTLY: the shared 1:1 table, the
+    multi-char specials, and combining-mark removal — chars outside the
+    tables pass through unchanged on BOTH sides (the downstream
+    ``[^a-z0-9\\s]`` strip then removes them identically)."""
     if ch in _MULTI:
         return _MULTI[ch]
     if ch in _FOLD_1TO1:
         return _FOLD_1TO1[ch]
-    decomp = unicodedata.normalize("NFKD", ch)
-    return "".join(c for c in decomp if not unicodedata.combining(c))
+    if "̀" <= ch <= "ͯ":
+        return ""
+    return ch
 
 
 def fold_ascii(s: str) -> str:

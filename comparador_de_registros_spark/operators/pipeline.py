@@ -149,6 +149,9 @@ class DedupPipeline:
             "left_semi",
         )
         sigs = compute_signatures(reps, self.cfg)
+        # no repartition here: the docs table is already spread by
+        # conv_id and mapInPandas preserves partitioning — an extra
+        # shuffle would move the fattest table of the pipeline twice
         self._write_observed(
             spark,
             sigs,
@@ -158,7 +161,6 @@ class DedupPipeline:
                 "n_signed": F.count(F.lit(1)),
                 "avg_shingles": F.avg("n_shingles"),
             },
-            repartition_by="conv_id",
         )
 
     def stage_candidates(self, spark: SparkSession) -> None:

@@ -33,12 +33,22 @@ SIGNATURE_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType()),
         T.StructField("n_shingles", T.IntegerType()),
-        T.StructField("shingles", T.ArrayType(T.LongType())),
+        # stored shingles are the top 32 bits of the 64-bit gram hashes:
+        # halves the dominant table + verify-shuffle bytes; within-pair
+        # collision probability ~(1400^2)/2^33 ≈ 2e-4 shifts Jaccard by
+        # <1e-3 — far inside the decoy/near-dup margin. The oracle
+        # truncates identically (oracle.py).
+        T.StructField("shingles", T.ArrayType(T.IntegerType())),
         T.StructField("minhash", T.ArrayType(T.IntegerType())),
         T.StructField("simhash", T.LongType()),
         T.StructField("anchors", T.ArrayType(T.LongType())),
     ]
 )
+
+
+def stored_shingles(sh64: "np.ndarray") -> "np.ndarray":
+    """uint64 shingle hashes -> distinct int32 storage form."""
+    return np.unique((sh64 >> np.uint64(32)).astype(np.uint32)).astype(np.int32)
 
 
 def compute_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -93,8 +103,9 @@ def compute_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
                     anc = H.winnow(grams, sub_cfg.window)
                 else:
                     anc = np.empty(0, dtype=np.uint64)
+                stored = stored_shingles(sh)
                 out["n_shingles"].append(len(sh))
-                out["shingles"].append(sh.astype(np.int64).tolist())
+                out["shingles"].append(stored.tolist())
                 out["minhash"].append(sig.tolist())
                 out["simhash"].append(int(sim))
                 out["anchors"].append(anc.astype(np.int64).tolist())

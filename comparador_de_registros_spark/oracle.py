@@ -55,13 +55,16 @@ def brute_force_oracle(docs: DataFrame, cfg: DedupConfig) -> OracleResult:
     rows = docs.select("conv_id", "norm").collect()
     ids = [r["conv_id"] for r in rows]
     norms = {r["conv_id"]: r["norm"] or "" for r in rows}
+    from comparador_de_registros_spark.operators.signatures import stored_shingles
+
     shingle_sets = {}
     for cid in ids:
         if cfg.shingle.kind == "char":
             sh = H.char_shingles(norms[cid], cfg.shingle.k, cfg.shingle.seed)
         else:
             sh = H.word_shingles(norms[cid], cfg.shingle.k, cfg.shingle.seed)
-        shingle_sets[cid] = frozenset(int(x) for x in sh)
+        # same int32 truncation the pipeline stores/verifies with
+        shingle_sets[cid] = frozenset(int(x) for x in stored_shingles(sh))
 
     min_len = cfg.substring.window + cfg.substring.gram - 1
     pairs: set[tuple[str, str]] = set()

@@ -112,6 +112,40 @@ _NAME_HINTS = ("nome", "nm_", "name", "mae", "pai", "paciente")
 _NUMBER_HINTS = ("num", "valor", "qtd", "peso", "idade", "renda", "cep")
 
 
+def spec_from_openreclink_header(
+    columns: list[str],
+    type_overrides: dict[str, FieldType] | None = None,
+) -> CompareSpec:
+    """Build a CompareSpec from an OpenRecLink-style paired header.
+
+    The reference GUI splits ``R_<base>`` / ``C_<base>`` column names
+    into (side, base name) and pairs every base present on both sides
+    (/root/reference/src/gui.py:427-448, prepare_column_maps :64-185);
+    field types default to the name-based inference below with optional
+    per-base overrides. Pairs are emitted in first-appearance order.
+    """
+    overrides = type_overrides or {}
+    sides: dict[str, dict[str, str]] = {}
+    order: list[str] = []
+    for col in columns:
+        m = re.match(r"^([RC])_(.+)$", col.strip(), flags=re.IGNORECASE)
+        if not m:
+            continue
+        side, base = m.group(1).upper(), m.group(2)
+        key = base.lower()
+        sides.setdefault(key, {})[side] = col
+        if key not in order:
+            order.append(key)
+    pairs = []
+    for key in order:
+        if {"R", "C"} <= set(sides[key]):
+            ftype = overrides.get(key, infer_field_type(key))
+            pairs.append(
+                ComparePair(sides[key]["R"], sides[key]["C"], ftype, key)
+            )
+    return CompareSpec(pairs=tuple(pairs))
+
+
 def infer_field_type(column_name: str) -> FieldType:
     """Heuristic default type from a column name — config-time helper
     only (the reference GUI's guess tables, gui.py:252-398); never used
