@@ -111,7 +111,7 @@ def run_at(cpus: int, turns_path: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-base", type=int, default=100000)
-    ap.add_argument("--pair", default="2,8", help="N,4N cores for the gate")
+    ap.add_argument("--pair", default="1,4", help="N,4N cores for the gate")
     ap.add_argument(
         "--extra-pair", default="8,32",
         help="secondary pair reported for context ('' to skip)",
