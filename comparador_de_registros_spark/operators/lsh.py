@@ -152,3 +152,98 @@ def substring_candidates(
         "conv_id", F.explode("anchors").alias("key")
     )
     return _self_join_pairs(keyed, ["key"], max_bucket_size, "substring")
+
+
+def unified_candidates(
+    signatures: DataFrame,
+    lsh_cfg: LshConfig,
+    sim_cfg: SimHashConfig | None,
+    use_substring: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """All three generators through ONE shuffle.
+
+    The per-generator implementations above each run their own
+    explode -> groupBy pipeline (three shuffles over the signature
+    table, ~3x the stage-scheduling overhead). At scale the bucket
+    grouping dominates the candidates stage, so this variant unions the
+    three key streams under a (gen, key1, key2) composite key and
+    groups ONCE; the SimHash Hamming post-filter is applied per-pair on
+    the carried fingerprints.
+
+    -> (candidates(a, b, sources), dropped(generator, sz))
+    """
+    gens = []
+    base = signatures.select(
+        "conv_id", F.col("simhash"),
+        F.posexplode(lsh_band_keys("minhash", lsh_cfg)).alias("k1", "k2"),
+    ).select("conv_id", "simhash", F.lit("lsh").alias("gen"), "k1", "k2")
+    gens.append(base)
+    if sim_cfg is not None:
+        blocks = sim_cfg.hamming_k + 1
+        width = sim_cfg.bits // blocks
+        mask = (1 << width) - 1
+        gens.append(
+            signatures.select(
+                "conv_id", F.col("simhash"),
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.shiftrightunsigned(
+                                F.col("simhash"), i * width
+                            ).bitwiseAND(F.lit(mask)).cast("int")
+                            for i in range(blocks)
+                        ]
+                    )
+                ).alias("k1", "simk"),
+            ).select(
+                "conv_id", "simhash", F.lit("simhash").alias("gen"),
+                "k1", F.col("simk").cast("int").alias("k2"),
+            )
+        )
+    if use_substring:
+        gens.append(
+            signatures.select(
+                "conv_id", F.col("simhash"),
+                F.explode("anchors").alias("anchor"),
+            ).select(
+                "conv_id", "simhash", F.lit("substring").alias("gen"),
+                F.lit(0).alias("k1"),
+                F.hash("anchor").alias("k2"),
+            )
+        )
+    keyed = gens[0]
+    for g in gens[1:]:
+        keyed = keyed.unionByName(g)
+
+    sized = keyed.groupBy("gen", "k1", "k2").agg(
+        F.collect_list(F.struct("conv_id", "simhash")).alias("members"),
+        F.count("*").alias("sz"),
+    )
+    ok = sized.where(F.col("sz").between(2, lsh_cfg.max_bucket_size))
+    dropped = sized.where(F.col("sz") > lsh_cfg.max_bucket_size).select(
+        F.col("gen").alias("generator"), "sz"
+    )
+    m = F.array_sort("members")
+    hamming_ok = (
+        F.col("gen") != F.lit("simhash")
+    ) | (
+        F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+        <= (sim_cfg.hamming_k if sim_cfg is not None else 0)
+    )
+    pairs = (
+        ok.select("gen", m.alias("m"))
+        .select("gen", F.posexplode("m").alias("i", "l"), F.col("m"))
+        .select(
+            "gen", "l",
+            F.explode(F.slice("m", F.col("i") + 2, F.size("m"))).alias("r"),
+        )
+        .where(hamming_ok)
+        .select(
+            F.col("l.conv_id").alias("a"),
+            F.col("r.conv_id").alias("b"),
+            F.col("gen").alias("source"),
+        )
+        .groupBy("a", "b")
+        .agg(F.array_sort(F.collect_set("source")).alias("sources"))
+    )
+    return pairs, dropped

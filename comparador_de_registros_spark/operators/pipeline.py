@@ -36,10 +36,7 @@ from comparador_de_registros_spark.operators.assembly import (
 )
 from comparador_de_registros_spark.operators.cluster import connected_components
 from comparador_de_registros_spark.operators.signatures import compute_signatures
-from comparador_de_registros_spark.operators.verify import (
-    union_candidates,
-    verify_pairs,
-)
+from comparador_de_registros_spark.operators.verify import verify_pairs
 from comparador_de_registros_spark.plans.configs import DedupConfig
 from comparador_de_registros_spark.sources.catalog import Catalog
 
@@ -165,30 +162,12 @@ class DedupPipeline:
 
     def stage_candidates(self, spark: SparkSession) -> None:
         sigs = self.catalog.read(spark, T_SIGN)
-        lsh_pairs, lsh_drop = lsh_ops.minhash_lsh_candidates(sigs, self.cfg.lsh)
-        parts = [lsh_pairs]
-        drops = [lsh_drop.withColumn("generator", F.lit("lsh")).select("sz", "generator")]
-        if self.cfg.use_simhash:
-            sim_pairs, sim_drop = lsh_ops.simhash_candidates(
-                sigs, self.cfg.simhash, self.cfg.lsh.max_bucket_size
-            )
-            parts.append(sim_pairs)
-            drops.append(
-                sim_drop.withColumn("generator", F.lit("simhash")).select(
-                    "sz", "generator"
-                )
-            )
-        if self.cfg.use_substring:
-            sub_pairs, sub_drop = lsh_ops.substring_candidates(
-                sigs, self.cfg.lsh.max_bucket_size
-            )
-            parts.append(sub_pairs)
-            drops.append(
-                sub_drop.withColumn("generator", F.lit("substring")).select(
-                    "sz", "generator"
-                )
-            )
-        cand = union_candidates(*parts)
+        cand, dropped = lsh_ops.unified_candidates(
+            sigs,
+            self.cfg.lsh,
+            self.cfg.simhash if self.cfg.use_simhash else None,
+            self.cfg.use_substring,
+        )
         metric_cols = {
             "n_candidates": F.count(F.lit(1)),
             "n_candidates_lsh": _count_if(F.array_contains("sources", "lsh")),
@@ -202,10 +181,6 @@ class DedupPipeline:
                 F.array_contains("sources", "substring")
             )
         self._write_observed(spark, cand, T_CAND, "candidates", metric_cols)
-
-        dropped = drops[0]
-        for d in drops[1:]:
-            dropped = dropped.unionByName(d)
         self._write_observed(
             spark,
             dropped,

@@ -31,23 +31,6 @@ def duck():
     return con
 
 
-def _normalize(rows, cols):
-    out = []
-    for row in rows:
-        vals = []
-        for c in sorted(cols):
-            v = row[c] if not isinstance(row, tuple) else row[cols.index(c)]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "nan"
-                else:
-                    v = round(v, 9)
-            vals.append(v)
-        out.append(tuple(vals))
-    out.sort(key=lambda t: tuple(str(x) for x in t))
-    return out
-
-
 @pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
 def test_query_matches_oracle(spark, duck, name):
     q = entrymod.queries()[name]
