@@ -284,6 +284,57 @@ toks AS (
 SELECT token, count(*) AS cnt FROM toks GROUP BY token
 """
 
+def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data corpus filter: keep documents above a
+    quality floor and within a length band, emit the kept ids + stats."""
+    docs = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.select(
+            "doc_id",
+            textstats.quality_score_col(t).alias("quality"),
+            textstats.token_count_col(t).alias("n_tokens"),
+        )
+        .where(
+            (F.col("quality") >= 0.5)
+            & F.col("n_tokens").between(10, 5000)
+        )
+    )
+
+
+def _sql_quality_filter() -> str:
+    inner = _sql_quality().strip().rstrip()
+    toks = _SQL_TOKENS.format(c="text")
+    return f"""
+WITH q AS ({inner}),
+t AS (SELECT doc_id, len({toks}) AS n_tokens FROM documents)
+SELECT q.doc_id, q.quality, t.n_tokens
+FROM q JOIN t ON q.doc_id = t.doc_id
+WHERE q.quality >= 0.5 AND t.n_tokens BETWEEN 10 AND 5000
+"""
+
+
+def q_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup materialization: one row per distinct normalized text,
+    keeping the canonical (min doc_id) representative."""
+    docs = _read(spark, sf_dir, "documents")
+    norm = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    return (
+        docs.select(norm.alias("doc_hash"), "doc_id")
+        .groupBy("doc_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "doc_hash")
+    )
+
+
+SQL_DISTINCT_DOCS = """
+SELECT min(doc_id) AS doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS doc_hash
+FROM documents
+GROUP BY 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # C. comparator family over derived pairs (dates, locality, names)
 # ---------------------------------------------------------------------------
@@ -469,6 +520,174 @@ SELECT p_partkey,
   / len(p1) * 0.5 AS qtd_frag_abrev
 FROM toks
 """
+
+def q_compare_texts_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tipo T criteria 1-3 + the date-like guard flag, fully native,
+    over document-text prefixes paired with their successor doc."""
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.substring(F.lower(F.trim("text")), 1, 60).alias("t_a"),
+    )
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.substring(F.lower(F.trim("text")), 1, 60).alias("t_b"),
+    )
+    pairs = a.join(b, "id_a")
+    p1, p2 = _TOKENS(F.col("t_a")), _TOKENS(F.col("t_b"))
+    t1 = F.size(p1)
+    date_like = (
+        (t1 == 1)
+        & (F.size(p2) == 1)
+        & F.element_at(p1, 1).rlike("^[0-9]{8}$")
+        & F.element_at(p2, 1).rlike("^[0-9]{8}$")
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.when(F.element_at(p1, 1) == F.element_at(p2, 1), 1.0)
+        .otherwise(0.0)
+        .alias("prim_frag_igual"),
+        F.when(F.element_at(p1, -1) == F.element_at(p2, -1), 1.0)
+        .otherwise(0.0)
+        .alias("ult_frag_igual"),
+        (F.size(F.filter(p1, lambda x: F.array_contains(p2, x))) / t1).alias(
+            "qtd_frag_iguais"
+        ),
+        F.when(date_like, 1).otherwise(0).alias("is_date_like"),
+    )
+
+
+def _sql_compare_texts() -> str:
+    p1 = _SQL_TOKENS.format(c="t_a")
+    p2 = _SQL_TOKENS.format(c="t_b")
+    return f"""
+WITH a AS (SELECT doc_id AS id_a, substr(lower(trim(text)), 1, 60) AS t_a
+           FROM documents),
+b AS (SELECT doc_id - 1 AS id_a, doc_id AS id_b,
+             substr(lower(trim(text)), 1, 60) AS t_b
+      FROM documents),
+p AS (SELECT id_a, id_b, {p1} AS p1, {p2} AS p2 FROM a JOIN b USING (id_a))
+SELECT id_a, id_b,
+  CASE WHEN p1[1] = p2[1] THEN 1.0 ELSE 0.0 END AS prim_frag_igual,
+  CASE WHEN p1[-1] = p2[-1] THEN 1.0 ELSE 0.0 END AS ult_frag_igual,
+  len(list_filter(p1, x -> list_contains(p2, x))) / len(p1)
+    AS qtd_frag_iguais,
+  CASE WHEN len(p1) = 1 AND len(p2) = 1
+        AND regexp_matches(p1[1], '^[0-9]{{8}}$')
+        AND regexp_matches(p2[1], '^[0-9]{{8}}$')
+       THEN 1 ELSE 0 END AS is_date_like
+FROM p
+"""
+
+
+def q_name_freq_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The positional name-frequency aggregation (SURVEY §2.4) over part
+    names: first/middle/last token counts in one pass, single-token
+    names counting as first AND last (freqBuilder quirk)."""
+    part = _read(spark, sf_dir, "part")
+    both = part.select(F.lower(F.trim("p_name")).alias("value"))
+    toks = both.select(
+        F.filter(F.split("value", r"\s+"), lambda t: t != F.lit("")).alias("toks")
+    ).where(F.size("toks") > 0)
+    tagged = toks.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.lit("first").alias("part"),
+                        F.element_at("toks", 1).alias("token"),
+                    ),
+                    F.struct(
+                        F.lit("last").alias("part"),
+                        F.element_at("toks", -1).alias("token"),
+                    ),
+                ),
+                F.transform(
+                    F.slice("toks", 2, F.greatest(F.size("toks") - 2, F.lit(0))),
+                    lambda t: F.struct(F.lit("middle").alias("part"), t.alias("token")),
+                ),
+            )
+        ).alias("pt")
+    )
+    return (
+        tagged.select("pt.part", "pt.token")
+        .groupBy("part", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _sql_name_freq() -> str:
+    toks = _SQL_TOKENS.format(c="p_name")
+    return f"""
+WITH t AS (SELECT {toks} AS toks FROM part WHERE len({toks}) > 0),
+tagged AS (
+  SELECT 'first' AS part, toks[1] AS token FROM t
+  UNION ALL
+  SELECT 'last' AS part, toks[-1] AS token FROM t
+  UNION ALL
+  SELECT 'middle' AS part, unnest(toks[2:len(toks)-1]) AS token
+  FROM t WHERE len(toks) > 2
+)
+SELECT part, token, count(*) AS cnt FROM tagged GROUP BY part, token
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + cumulative session ids): classic
+    window-function shape over the events stream, 10-minute gap."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ has no direct long cast in Spark 4; session TZ is
+    # pinned UTC so the intermediate timestamp cast is exact
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    with_break = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 600), 1).otherwise(0).alias("brk"),
+    )
+    sess = with_break.withColumn(
+        "session_id",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+             - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) > 600
+           OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
 
 # ---------------------------------------------------------------------------
 # D. analytics family (scan/agg/join/window/sort coverage)
@@ -717,15 +936,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_fingerprints": q_doc_fingerprints,
-    # text analysis
+    "distinct_docs": q_distinct_docs,
+    # text analysis / corpus curation
     "text_token_counts": q_text_token_counts,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "padroniza_token_freq": q_padroniza_token_freq,
-    # comparators
+    "corpus_quality_filter": q_corpus_quality_filter,
+    # comparators / frequency tables
     "compare_dates": q_compare_dates,
     "compare_localities": q_compare_localities,
     "compare_names_basic": q_compare_names_basic,
+    "compare_texts_basic": q_compare_texts_basic,
+    "name_freq_positional": q_name_freq_positional,
+    "events_sessionize": q_events_sessionize,
     # analytics
     "pricing_summary": q_pricing_summary,
     "top_customer_revenue": q_top_customer_revenue,
@@ -748,9 +972,14 @@ ORACLES: dict[str, str] = {
     "text_lang_id": _sql_lang_id(),
     "text_quality": _sql_quality(),
     "padroniza_token_freq": SQL_PADRONIZA_TOKEN_FREQ,
+    "distinct_docs": SQL_DISTINCT_DOCS,
+    "corpus_quality_filter": _sql_quality_filter(),
     "compare_dates": SQL_COMPARE_DATES,
     "compare_localities": SQL_COMPARE_LOCALITIES,
     "compare_names_basic": _sql_compare_names(),
+    "compare_texts_basic": _sql_compare_texts(),
+    "name_freq_positional": _sql_name_freq(),
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_customer_revenue": SQL_TOP_CUSTOMER_REVENUE,
     "orders_running_total": SQL_ORDERS_RUNNING_TOTAL,

@@ -139,3 +139,16 @@ def test_resume_skips_completed_stages(spark, turns, tmp_path_factory):
     catalog.drop(T_CLUSTERS)
     second = pipe.run(spark, t, resume=True).collect()
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_lsh_candidates_near_linear(spark, pipeline_result):
+    """Regression guard for the candidate-explosion failure mode: on the
+    fixture, total candidates must stay within a small multiple of the
+    doc count (a degenerate corpus/geometry makes LSH quadratic —
+    root-caused and fixed in round 1; see transcripts._build_vocab)."""
+    catalog, pipe, _ = pipeline_result
+    from comparador_de_registros_spark.operators.pipeline import T_CAND, T_DOCS
+
+    n_docs = catalog.read(spark, T_DOCS).count()
+    n_cand = catalog.read(spark, T_CAND).count()
+    assert n_cand <= 5 * n_docs, (n_cand, n_docs)
