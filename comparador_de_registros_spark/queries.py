@@ -121,7 +121,7 @@ SQL_NGRAM_JACCARD_PAIRS = _sql_jaccard("0.8", "a, b, jaccard")
 
 
 def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH + SimHash + substring near-dup pairs (char-8 shingle
+    """MinHash-LSH + SimHash + substring near-dup pairs (char-12 shingle
     Jaccard >= 0.8). No SQL oracle (signature stage); pinned by
     tests/test_dedup_pipeline.py against the brute-force oracle."""
     verified = doc_dedup.signature_dup_pairs(
