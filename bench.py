@@ -27,7 +27,12 @@ import shutil
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Python workers must also import the package when bench is invoked
+# from a foreign cwd; PYTHONPATH set before the JVM starts propagates
+# to the worker daemon in local mode.
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from comparador_de_registros_spark.conf import build_spark
 from comparador_de_registros_spark.operators.pipeline import DedupPipeline

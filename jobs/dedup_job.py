@@ -21,9 +21,11 @@ import argparse
 import sys
 import os
 
-sys.path.insert(
-    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# local-mode runs from a foreign cwd need the package on the Python
+# workers' path too (cluster runs ship it via --py-files instead)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from comparador_de_registros_spark.conf import build_spark
 from comparador_de_registros_spark.operators.pipeline import STAGES, DedupPipeline
@@ -78,8 +80,10 @@ def main(argv: list[str] | None = None) -> None:
         else spark.read.parquet(args.input)
     )
     clusters = pipe.run(spark, turns, stages=stages, resume=args.resume)
-    n = clusters.count()
-    print(f"clusters table written: {n} conversations labeled")
+    if clusters is not None:
+        print(f"clusters table written: {clusters.count()} conversations labeled")
+    else:
+        print(f"stages {','.join(stages)} completed (no clusters table yet)")
     spark.stop()
 
 
