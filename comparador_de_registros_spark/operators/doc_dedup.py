@@ -24,12 +24,33 @@ from comparador_de_registros_spark.operators.verify import (
 from comparador_de_registros_spark.plans.configs import DedupConfig
 
 
-def exact_dup_clusters(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Exact dedup: md5 of normalized text. -> one row per duplicate
+def tokenset_key_col(text: F.Column) -> F.Column:
+    """Normalization key for exact dedup under token-set identity:
+    md5 of the sorted distinct lowercase tokens. Strictly weaker than
+    whitespace-collapse normalization — catches token reorders and
+    repetitions, which real corpora contain even when byte-exact dups
+    are absent."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != F.lit("")
+    )
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+
+
+def exact_dup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: F.Column | None = None,
+) -> DataFrame:
+    """Exact dedup: group by a normalization key (default: md5 of
+    whitespace-collapsed lowercase text; pass ``key`` for a weaker
+    normalizer, e.g. :func:`tokenset_key_col`). -> one row per duplicate
     GROUP (size >= 2): (doc_hash, n_docs, canonical_id)."""
+    if key is None:
+        key = F.md5(normalize_doc_col(F.col(text_col)))
     hashed = docs.select(
         F.col(id_col),
-        F.md5(normalize_doc_col(F.col(text_col))).alias("doc_hash"),
+        key.alias("doc_hash"),
     )
     return (
         hashed.groupBy("doc_hash")

@@ -34,6 +34,12 @@ class FieldType(str, Enum):
         except ValueError:
             return cls.TEXT
 
+    @classmethod
+    def parse_with_context(cls, code: str, column_name: str) -> "FieldType":
+        """Reference-parity tipo parsing: user code + column-name guess
+        conflict resolution (normalize_tipo_code, gui.py:401-424)."""
+        return cls.parse(normalize_tipo_code(code, column_name))
+
 
 # criterion column suffixes per type; the pt-BR labels mirror the
 # reference's output headers (comparators/core.py:55-101) so a user of
@@ -101,6 +107,124 @@ def criteria_labels(spec: CompareSpec) -> list[str]:
     """Output criterion labels incl. the total — the Spark analogue of
     ``build_criterios_labels`` (core.py:55-101)."""
     return spec.criterion_columns() + [spec.total_column]
+
+
+# --- reference-parity tipo guessing + conflict resolution ------------------
+# gui.py:252-424 verbatim semantics: the GUI guesses a tipo from the
+# column name and reconciles it against the user's declared code. Ported
+# fully (round-1 carried only the E->L alias): L-vs-C disambiguation,
+# C-vs-L/T fallbacks, T->M promotion.
+
+_LOCALIDADE_SPECIFIC_PATTERNS = (
+    "cod_localidade", "codigo_localidade", "codlocalidade", "cod_local",
+    "codigo_local", "cod_ibge", "codigo_ibge", "codmunicipio",
+    "cod_municipio", "codigo_municipio", "codmun", "cod_mun", "codcidade",
+    "codigo_cidade",
+)
+_LOCALIDADE_SCOPE_HINTS = ("localidade", "local", "municip", "cidade", "ibge")
+_LOCALIDADE_CODE_HINTS = ("cod", "codigo", "code", "id")
+_LOGRADOURO_HINTS = (
+    "logradouro", "endereco", "endereço", "avenida", "av", "rua",
+    "travessa", "estrada", "rodovia", "alameda", "praca", "praça",
+    "largo", "bairro", "quadra", "lote", "bloco", "casa", "apto",
+)
+_LOGRADOURO_TOKENS = {
+    "rua", "avenida", "av", "travessa", "estrada", "logradouro",
+    "endereco", "apto", "bloco", "quadra", "lote", "bairro",
+}
+_NUMERIC_KEYWORDS = (
+    "ano", "anos", "mes", "meses", "dia", "dias", "idade", "numero",
+    "num", "valor", "quantidade", "qtd", "qtde", "percentual", "percent",
+    "porcentagem", "taxa", "indice", "nota", "pontuacao", "pontos",
+    "score", "total", "saldo",
+)
+_NUMERIC_PREFIXES = ("num_", "valor_", "vl_", "vlr_", "qtd_", "qtde_", "vlr", "vl")
+_NUMERIC_SUFFIXES = (
+    "_ano", "_anos", "_mes", "_meses", "_dia", "_dias", "_idade",
+    "_numero", "_num", "_valor", "_quantidade", "_qtd", "_qtde", "_total",
+)
+
+
+def _looks_like_logradouro_name(nome_lower: str) -> bool:
+    """gui.py:361-380"""
+    base = nome_lower.replace("_", " ").replace("-", " ")
+    tokens = set(base.split())
+    if any(hint in nome_lower for hint in _LOGRADOURO_HINTS):
+        return True
+    return bool(tokens & _LOGRADOURO_TOKENS)
+
+
+def _looks_like_localidade_name(nome_lower: str) -> bool:
+    """gui.py:349-359"""
+    nome_lower = nome_lower.replace(" ", "")
+    if any(p in nome_lower for p in _LOCALIDADE_SPECIFIC_PATTERNS):
+        return True
+    return any(s in nome_lower for s in _LOCALIDADE_SCOPE_HINTS) and any(
+        c in nome_lower for c in _LOCALIDADE_CODE_HINTS
+    )
+
+
+def _looks_like_numeric_name(nome_lower: str) -> bool:
+    """gui.py:382-398"""
+    compact = re.sub(r"[\s_\-]", "", nome_lower)
+    if not compact:
+        return False
+    if re.fullmatch(r"[+-]?\d+", compact):
+        return True
+    tokens = [tok for tok in re.findall(r"[a-z]+|\d+", nome_lower) if tok]
+    if any(tok.isdigit() for tok in tokens):
+        return True
+    if any(tok in _NUMERIC_KEYWORDS for tok in tokens):
+        return True
+    if any(nome_lower.startswith(p) for p in _NUMERIC_PREFIXES):
+        return True
+    return any(nome_lower.endswith(s) for s in _NUMERIC_SUFFIXES)
+
+
+def guess_tipo_code(nome: str) -> str:
+    """Column-name tipo guess, reference priority order (gui.py:336-347):
+    logradouro > localidade > date > numeric > text."""
+    lower = nome.strip().lower()
+    if _looks_like_logradouro_name(lower):
+        return "L"
+    if _looks_like_localidade_name(lower):
+        return "C"
+    if any(k in lower for k in ("data", "nasc", "dt")):
+        return "D"
+    if _looks_like_numeric_name(lower):
+        return "M"
+    return "T"
+
+
+def normalize_tipo_code(tipo_raw: str, column_name: str) -> str:
+    """Reconcile a user-declared tipo against the column-name guess
+    (gui.py:401-424): E aliases L; a declared L column that looks like a
+    locality/number becomes C/M; a declared C that doesn't look like a
+    locality falls back to the guess (L or M) or T; a declared T on a
+    numeric-looking column is promoted to M."""
+    code = (tipo_raw or "").strip().upper()
+    if not code:
+        return ""
+    guess = guess_tipo_code(column_name)
+    if code == "E":
+        return "L"
+    if code == "L":
+        if guess == "C":
+            return "C"
+        if guess == "M":
+            return "M"
+        return "L"
+    if code == "C":
+        if guess in {"C", "L"}:
+            return guess
+        if guess == "M":
+            return "M"
+        return "T"
+    if code == "T" and guess == "M":
+        return "M"
+    if code == "M":
+        return "M"
+    return code
 
 
 # --- config-time type inference (gui.py:252-424, condensed) ---------------

@@ -60,13 +60,20 @@ _SQL_TOKENS = (
 
 
 def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return doc_dedup.exact_dup_clusters(_read(spark, sf_dir, "documents")).select(
-        "doc_hash", "n_docs", "canonical_id"
-    )
+    """Exact dedup groups under token-set normalization. The strict
+    whitespace-collapse key is vacuous on this testdata (zero byte-exact
+    dups at every sf — round-1 gate compared empty vs empty), so the
+    gate uses the token-set key, which has 20+ real groups here and
+    exercises the grouping + min-rep semantics."""
+    docs = _read(spark, sf_dir, "documents")
+    return doc_dedup.exact_dup_clusters(
+        docs, key=doc_dedup.tokenset_key_col(F.col("text"))
+    ).select("doc_hash", "n_docs", "canonical_id")
 
 
-SQL_EXACT_DUP_CLUSTERS = """
-SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS doc_hash,
+SQL_EXACT_DUP_CLUSTERS = f"""
+SELECT md5(array_to_string(list_sort(list_distinct(
+         {_SQL_TOKENS.format(c='text')})), ' ')) AS doc_hash,
        count(*) AS n_docs,
        min(doc_id) AS canonical_id
 FROM documents
@@ -677,10 +684,13 @@ WITH g AS (
   FROM events
 ),
 s AS (
+  -- CAST: DuckDB's windowed sum returns HUGEINT (int128), which the
+  -- driver's value hash renders differently from Spark's BIGINT even
+  -- when every value is equal (round-1 red cell).
   SELECT user_id, ts,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_id
+              AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id, count(*) AS n_events,

@@ -166,3 +166,40 @@ def test_infer_field_type():
     assert infer_field_type("logradouro") == FieldType.ADDRESS
     assert infer_field_type("cod_municipio") == FieldType.LOCALITY
     assert infer_field_type("observacao") == FieldType.TEXT
+
+
+def test_normalize_tipo_code_reference_parity():
+    """Conflict-resolution rules ported verbatim from gui.py:401-424:
+    E alias, L-vs-C/M disambiguation, C fallbacks, T->M promotion."""
+    from comparador_de_registros_spark.plans.spec import (
+        guess_tipo_code,
+        normalize_tipo_code,
+    )
+
+    # guess table priority (gui.py:336-347)
+    assert guess_tipo_code("logradouro_residencia") == "L"
+    assert guess_tipo_code("cod_municipio") == "C"
+    assert guess_tipo_code("dt_nasc") == "D"
+    assert guess_tipo_code("qtd_filhos") == "M"
+    assert guess_tipo_code("observacao") == "T"
+    # bare E always means L
+    assert normalize_tipo_code("E", "whatever") == "L"
+    # declared L on a locality-looking column -> C; numeric-looking -> M
+    assert normalize_tipo_code("L", "cod_ibge") == "C"
+    assert normalize_tipo_code("L", "valor_total") == "M"
+    assert normalize_tipo_code("L", "rua_casa") == "L"
+    # declared C keeps C/L guesses, promotes M, else falls back to T
+    assert normalize_tipo_code("C", "cod_municipio") == "C"
+    assert normalize_tipo_code("C", "endereco") == "L"
+    assert normalize_tipo_code("C", "idade") == "M"
+    assert normalize_tipo_code("C", "observacao") == "T"
+    # declared T on a numeric-looking column is promoted to M
+    assert normalize_tipo_code("T", "num_prontuario") == "M"
+    assert normalize_tipo_code("T", "observacao") == "T"
+    # M and other codes pass through; empty stays empty
+    assert normalize_tipo_code("M", "observacao") == "M"
+    assert normalize_tipo_code("N", "qtd_filhos") == "N"
+    assert normalize_tipo_code("", "qtd_filhos") == ""
+    # FieldType integration
+    assert FieldType.parse_with_context("L", "cod_ibge") == FieldType.LOCALITY
+    assert FieldType.parse_with_context("T", "valor_total") == FieldType.NUMBER
