@@ -63,29 +63,98 @@ def hash_bytes(data: bytes, seed: int = 0) -> int:
         return int(mixed[0])
 
 
-def rolling_kgram_hashes(data: bytes, k: int, seed: int = 0) -> np.ndarray:
-    """All k-gram polynomial hashes of ``data`` (len n-k+1, uint64),
-    position-independent, fully vectorized via invertible-base prefix
-    sums: window hash at i = B^(i+k) * (S[i+k] - S[i]) where
-    S[i] = sum_{j<i} a[j] * Binv^(j+1) — equals
-    B^(k-1) * sum_t a[i+t] * Binv^t, independent of i."""
+# power tables grow-on-demand and are reused across calls: the
+# sequential multiply.accumulate scan dominated the rolling-hash cost
+# when recomputed per call (the tables depend only on length).
+_POW_TABLES: dict[str, np.ndarray] = {}
+
+
+def _power_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """-> (pows, inv_pows) with pows[i] = B^i (len >= n+1) and
+    inv_pows[j] = Binv^(j+1) (len >= n)."""
+    pows = _POW_TABLES.get("pows")
+    if pows is None or len(pows) < n + 1:
+        m = max(n + 1, 1 << 20)
+        with np.errstate(over="ignore"):
+            pows = np.empty(m, dtype=_U64)
+            pows[0] = _U64(1)
+            np.multiply.accumulate(np.full(m - 1, _POLY_BASE, dtype=_U64), out=pows[1:])
+            inv = np.multiply.accumulate(np.full(m, _POLY_BASE_INV, dtype=_U64))
+        _POW_TABLES["pows"] = pows
+        _POW_TABLES["inv"] = inv
+    return _POW_TABLES["pows"], _POW_TABLES["inv"]
+
+
+def splitmix64_inplace(z: np.ndarray, tmp: np.ndarray | None = None) -> np.ndarray:
+    """splitmix64 finalizer applied in place (input = x + GOLDEN must
+    already be folded by the caller — see :func:`splitmix64` for the
+    allocating reference form). ``tmp`` is a same-shape scratch buffer."""
+    if tmp is None:
+        tmp = np.empty_like(z)
+    np.right_shift(z, _U64(30), out=tmp)
+    np.bitwise_xor(z, tmp, out=z)
+    np.multiply(z, _MIX1, out=z)
+    np.right_shift(z, _U64(27), out=tmp)
+    np.bitwise_xor(z, tmp, out=z)
+    np.multiply(z, _MIX2, out=z)
+    np.right_shift(z, _U64(31), out=tmp)
+    np.bitwise_xor(z, tmp, out=z)
+    return z
+
+
+def byte_prefix_sums(data: bytes) -> np.ndarray:
+    """Polynomial prefix sums of a byte string:
+    ``prefix[i] = sum_{j<i} a[j] * Binv^(j+1)`` (uint64, length n+1).
+    One prefix array serves every downstream span/window hash — the
+    batched signature kernel computes it once per buffer."""
     arr = np.frombuffer(data, dtype=np.uint8).astype(_U64)
     n = len(arr)
+    _, inv_pows = _power_tables(n)
+    prefix = np.zeros(n + 1, dtype=_U64)
+    with np.errstate(over="ignore"):
+        np.cumsum(arr * inv_pows[:n], out=prefix[1:])
+    return prefix
+
+
+def _finalize(h: np.ndarray, seed: int) -> np.ndarray:
+    """splitmix64(h ^ seed) in place."""
+    np.bitwise_xor(h, _U64(seed & 0xFFFFFFFFFFFFFFFF), out=h)
+    np.add(h, _GOLDEN, out=h)
+    return splitmix64_inplace(h)
+
+
+def windows_from_prefix(prefix: np.ndarray, k: int, seed: int = 0) -> np.ndarray:
+    """All k-gram hashes given precomputed :func:`byte_prefix_sums`.
+    Window hash at i = B^(i+k) * (S[i+k] - S[i]) = B^(k-1) *
+    sum_t a[i+t] Binv^t — position-independent."""
+    n = len(prefix) - 1
     if n < k:
         return np.empty(0, dtype=_U64)
     with np.errstate(over="ignore"):
-        # inv_pows[j] = Binv^(j+1)
-        inv_pows = np.multiply.accumulate(
-            np.full(n, _POLY_BASE_INV, dtype=_U64)
-        )
-        prefix = np.zeros(n + 1, dtype=_U64)
-        np.cumsum(arr * inv_pows, out=prefix[1:])
-        # pows[i] = B^i
-        pows = np.empty(n + 1, dtype=_U64)
-        pows[0] = _U64(1)
-        np.multiply.accumulate(np.full(n, _POLY_BASE, dtype=_U64), out=pows[1:])
-        windows = (prefix[k:] - prefix[:-k]) * pows[k:]
-        return splitmix64(windows ^ _U64(seed & 0xFFFFFFFFFFFFFFFF))
+        pows, _ = _power_tables(n)
+        windows = (prefix[k:] - prefix[:-k]) * pows[k : n + 1]
+        return _finalize(windows, seed)
+
+
+def span_hashes(
+    prefix: np.ndarray, starts: np.ndarray, ends: np.ndarray, seed: int = 0
+) -> np.ndarray:
+    """Vectorized :func:`hash_bytes` of ``data[starts[i]:ends[i]]`` for
+    every span: h = (S[e] - S[s]) * B^e = sum_t a[s+t] B^(len-1-t) —
+    bit-identical to hash_bytes on the sliced bytes (same polynomial,
+    same finalizer)."""
+    with np.errstate(over="ignore"):
+        pows, _ = _power_tables(len(prefix) - 1)
+        h = (prefix[ends] - prefix[starts]) * pows[ends]
+        return _finalize(h, seed)
+
+
+def rolling_kgram_hashes(data: bytes, k: int, seed: int = 0) -> np.ndarray:
+    """All k-gram polynomial hashes of ``data`` (len n-k+1, uint64),
+    fully vectorized via invertible-base prefix sums."""
+    if len(data) < k:
+        return np.empty(0, dtype=_U64)
+    return windows_from_prefix(byte_prefix_sums(data), k, seed)
 
 
 def char_shingles(text: str, k: int, seed: int = 0) -> np.ndarray:
@@ -127,6 +196,39 @@ def minhash_signature(
             block = shingles[start : start + chunk, None] ^ seeds[None, :]
             np.minimum(mins, splitmix64(block).min(axis=0), out=mins)
         return (mins >> _U64(32)).astype(np.int64).astype(np.int32)
+
+
+def oph_signature(
+    shingles: np.ndarray, num_perm: int, empty_fill: int = 0
+) -> np.ndarray:
+    """One-permutation MinHash (Li/Owen/Zhang, NIPS 2012) with circular
+    left-neighbor densification (Shrivastava/Li, ICML 2014): bucket each
+    64-bit shingle hash by its top ``log2(num_perm)`` bits, take the
+    minimum hash per bucket (one pass — no per-permutation re-hashing),
+    splitmix-finalize it, and fill empty buckets from the nearest
+    occupied bucket to the left (circular). Same int32 top-32-bit output
+    form as :func:`minhash_signature`; collision probability per bucket
+    is J like classic MinHash, at ~1/num_perm of the hashing cost."""
+    p = num_perm
+    if p & (p - 1):
+        raise ValueError("num_perm must be a power of two for OPH")
+    if len(shingles) == 0:
+        return np.full(p, empty_fill, dtype=np.int32)
+    shift = _U64(64 - (p.bit_length() - 1))
+    s = np.sort(shingles.astype(_U64))
+    bucket = (s >> shift).astype(np.int64)
+    first = np.ones(len(s), dtype=bool)
+    first[1:] = bucket[1:] != bucket[:-1]
+    vals, occ_b = s[first], bucket[first]
+    mixed = splitmix64(vals)
+    m = np.full(p, np.iinfo(_U64).max, dtype=_U64)
+    m[occ_b] = mixed
+    occ = np.zeros(p, dtype=bool)
+    occ[occ_b] = True
+    idx = np.where(np.concatenate([occ, occ]), np.arange(2 * p), 0)
+    np.maximum.accumulate(idx, out=idx)
+    filled = np.concatenate([m, m])[idx][p:]
+    return (filled >> _U64(32)).astype(np.int64).astype(np.int32)
 
 
 def make_seeds(num: int, seed: int) -> np.ndarray:

@@ -41,8 +41,22 @@ class ShingleConfig:
 
 @dataclass(frozen=True)
 class MinHashConfig:
+    """``scheme='oph'`` (default) is one-permutation hashing with
+    circular densification (Li/Owen/Zhang 2012, Shrivastava/Li 2014):
+    one hash pass per shingle instead of num_perm — the signature stage
+    is ~num_perm x cheaper per byte with the same per-bucket collision
+    probability J. ``scheme='kperm'`` is classic Broder MinHash (min
+    over num_perm seeded mixes)."""
+
     num_perm: int = 128
     seed: int = 0x00C0FFEE
+    scheme: str = "oph"
+
+    def __post_init__(self) -> None:
+        if self.scheme not in ("oph", "kperm"):
+            raise ValueError(f"unknown minhash scheme {self.scheme!r}")
+        if self.scheme == "oph" and self.num_perm & (self.num_perm - 1):
+            raise ValueError("num_perm must be a power of two for OPH")
 
 
 @dataclass(frozen=True)

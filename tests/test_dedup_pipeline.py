@@ -152,3 +152,77 @@ def test_lsh_candidates_near_linear(spark, pipeline_result):
     n_docs = catalog.read(spark, T_DOCS).count()
     n_cand = catalog.read(spark, T_CAND).count()
     assert n_cand <= 5 * n_docs, (n_cand, n_docs)
+
+
+def test_batch_kernel_matches_per_doc():
+    """The vectorized cross-document kernel must be bit-for-bit equal to
+    the per-doc primitives (char_shingles / minhash_signature /
+    simhash64 / winnow + stored_shingles) on every edge case: empty doc,
+    doc shorter than k, shorter than the substring gram, shorter than
+    min_doc_len, multi-byte UTF-8, and normal-length docs."""
+    import numpy as np
+
+    from comparador_de_registros_spark.functions import hashing as H
+    from comparador_de_registros_spark.operators.signatures import (
+        batch_signatures,
+        stored_shingles,
+    )
+
+    from comparador_de_registros_spark.plans.configs import MinHashConfig
+
+    rng = np.random.default_rng(123)
+    words = ["consulta", "paciente", "ação", "exame", "b", "retorno", "José"]
+    texts = [
+        "",
+        "abc",  # < k
+        "a" * 20,  # >= k, < gram
+        "palavra " * 6,  # >= gram, < min_doc_len
+        " ".join(rng.choice(words, size=40)),  # long, repeated tokens
+        " ".join(rng.choice(words, size=200)),  # long enough for anchors
+        ("x" * 95),  # just under min_doc_len
+        ("y" * 96),  # exactly min_doc_len
+    ]
+    for scheme in ("oph", "kperm"):
+        cfg = DedupConfig(minhash=MinHashConfig(scheme=scheme))
+        seeds = H.make_seeds(cfg.minhash.num_perm, cfg.minhash.seed)
+        cache: dict[str, int] = {}
+
+        def tok_hash(t: str) -> int:
+            if t not in cache:
+                cache[t] = H.hash_bytes(t.encode("utf-8"), cfg.simhash.seed)
+            return cache[t]
+
+        got = batch_signatures(texts, cfg, seeds)
+
+        for i, text in enumerate(texts):
+            sh = H.char_shingles(text, cfg.shingle.k, cfg.shingle.seed)
+            assert got["n_shingles"][i] == len(sh), f"doc {i} n_shingles"
+            np.testing.assert_array_equal(
+                np.asarray(got["shingles"][i]),
+                stored_shingles(sh),
+                f"doc {i} shingles",
+            )
+            expect_mh = (
+                H.oph_signature(sh, cfg.minhash.num_perm)
+                if scheme == "oph"
+                else H.minhash_signature(sh, seeds)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got["minhash"][i]), expect_mh, f"doc {i} {scheme} minhash"
+            )
+            toks = np.array(
+                [tok_hash(t) for t in set(text.split())], dtype=np.uint64
+            )
+            assert int(got["simhash"][i]) == H.simhash64(toks), f"doc {i} simhash"
+            if len(text.encode()) >= cfg.substring.min_doc_len:
+                grams = H.rolling_kgram_hashes(
+                    text.encode("utf-8"), cfg.substring.gram, cfg.substring.seed
+                )
+                expect_anchors = H.winnow(grams, cfg.substring.window).astype(
+                    np.int64
+                )
+            else:
+                expect_anchors = np.empty(0, dtype=np.int64)
+            np.testing.assert_array_equal(
+                np.asarray(got["anchors"][i]), expect_anchors, f"doc {i} anchors"
+            )
