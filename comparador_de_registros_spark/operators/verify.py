@@ -1,23 +1,35 @@
-"""Verification: exact Jaccard on shingle sets + substring containment.
+"""Verification: exact Jaccard on shingle sets + substring overlap.
 
 Candidates from all generators are unioned, de-duplicated, then
 verified natively: ``size(array_intersect)/size(array_union)`` over the
 stored shingle arrays (no Python). Pairs that came from the substring
-generator and fail the Jaccard threshold get a second chance as
-containment duplicates (one normalized doc embedded inside the other —
-FIXTURES.md planted class), checked with native ``instr``.
+generator and fail the Jaccard threshold get the substring ladder:
+
+1. full containment (one normalized doc embedded in the other) —
+   native ``instr``, zero Python;
+2. otherwise, the suffix-array longest-common-substring verify
+   (functions/suffix.py, Arrow-batched pandas UDF): a pair is a
+   substring duplicate when LCS >= ``cfg.substring.min_overlap`` bytes,
+   covering partial overlaps where NEITHER doc contains the other —
+   the winnowing anchor generator guarantees any pair sharing
+   ``window + gram - 1`` bytes reaches this stage, so the rule's
+   candidate recall is exact.
 
 Scale notes: the two shingle-set joins are the big shuffles of the
 pipeline; they join the (much smaller) pair table against the signature
 table on conv_id — AQE handles residual skew; the pair table is
 pre-distinct so each conversation's shingle set is shipped once per
-pair side.
+pair side. The LCS UDF runs only on the containment-failing residue of
+substring-sourced candidates — a vanishing fraction of pairs.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from comparador_de_registros_spark.plans.configs import DedupConfig
 
@@ -33,16 +45,42 @@ def union_candidates(*pair_dfs: DataFrame) -> DataFrame:
     )
 
 
+_LCS_UDF = None
+
+
+def _lcs_udf(a, b):
+    """Arrow-batched suffix-array LCS column (lazy — pandas_udf creation
+    needs an active SparkContext)."""
+    global _LCS_UDF
+    if _LCS_UDF is None:
+
+        @pandas_udf(T.LongType())
+        def _udf(na: pd.Series, nb: pd.Series) -> pd.Series:
+            from comparador_de_registros_spark.functions.suffix import lcs_len
+
+            return pd.Series(
+                [
+                    lcs_len((x or "").encode("utf-8"), (y or "").encode("utf-8"))
+                    for x, y in zip(na, nb)
+                ],
+                dtype="int64",
+            )
+
+        _LCS_UDF = _udf
+    return _LCS_UDF(a, b)
+
+
 def verify_pairs(
     candidates: DataFrame,
     signatures: DataFrame,
     docs_norm: DataFrame,
     cfg: DedupConfig,
 ) -> DataFrame:
-    """-> (a, b, jaccard, contained, is_dup, sources)
+    """-> (a, b, jaccard, contained, overlap, is_dup, sources)
 
     ``docs_norm`` must carry (conv_id, norm) — the same normalized text
-    the signatures were computed from.
+    the signatures were computed from. ``contained`` = full containment;
+    ``overlap`` = partial overlap with LCS >= substring.min_overlap.
     """
     sig = signatures.select("conv_id", "shingles")
     withsets = (
@@ -58,18 +96,20 @@ def verify_pairs(
         "a", "b", "sources", jacc.alias("jaccard")
     )
 
-    needs_containment = scored.where(
+    needs_substring = scored.where(
         (F.col("jaccard") < cfg.jaccard_threshold)
         & F.array_contains("sources", "substring")
     )
-    jacc_pass = scored.where(F.col("jaccard") >= cfg.jaccard_threshold).withColumn(
-        "contained", F.lit(False)
+    jacc_pass = (
+        scored.where(F.col("jaccard") >= cfg.jaccard_threshold)
+        .withColumn("contained", F.lit(False))
+        .withColumn("overlap", F.lit(False))
     )
 
     if cfg.use_substring:
         d = docs_norm.select("conv_id", "norm")
-        contained = (
-            needs_containment.join(d.withColumnRenamed("conv_id", "a"), "a")
+        with_norms = (
+            needs_substring.join(d.withColumnRenamed("conv_id", "a"), "a")
             .withColumnRenamed("norm", "norm_a")
             .join(d.withColumnRenamed("conv_id", "b"), "b")
             .withColumnRenamed("norm", "norm_b")
@@ -80,13 +120,29 @@ def verify_pairs(
                     F.instr(F.col("norm_b"), F.col("norm_a")) > 0,
                 ).otherwise(F.instr(F.col("norm_a"), F.col("norm_b")) > 0),
             )
-            .select("a", "b", "sources", "jaccard", "contained")
+            # suffix-array LCS only where containment already failed;
+            # byte-length pre-filter: LCS >= min_overlap needs both docs
+            # that long (native, prunes the UDF input further)
+            .withColumn(
+                "overlap",
+                F.when(F.col("contained"), F.lit(False)).otherwise(
+                    (F.length("norm_a") >= cfg.substring.min_overlap)
+                    & (F.length("norm_b") >= cfg.substring.min_overlap)
+                    & (
+                        _lcs_udf(F.col("norm_a"), F.col("norm_b"))
+                        >= cfg.substring.min_overlap
+                    )
+                ),
+            )
+            .select("a", "b", "sources", "jaccard", "contained", "overlap")
         )
-        verified = jacc_pass.unionByName(contained)
+        verified = jacc_pass.unionByName(with_norms)
     else:
         verified = jacc_pass
 
     return verified.withColumn(
         "is_dup",
-        (F.col("jaccard") >= cfg.jaccard_threshold) | F.col("contained"),
+        (F.col("jaccard") >= cfg.jaccard_threshold)
+        | F.col("contained")
+        | F.col("overlap"),
     )

@@ -51,7 +51,7 @@ def brute_force_oracle(docs: DataFrame, cfg: DedupConfig) -> OracleResult:
     """``docs(conv_id, norm)`` -> exhaustive dup pairs + clusters under
     the pipeline's exact verification semantics (Jaccard >= threshold on
     the config's shingle sets, or containment of the shorter normalized
-    doc in the longer)."""
+    doc in the longer, or suffix-array LCS >= substring.min_overlap)."""
     rows = docs.select("conv_id", "norm").collect()
     ids = [r["conv_id"] for r in rows]
     norms = {r["conv_id"]: r["norm"] or "" for r in rows}
@@ -66,7 +66,17 @@ def brute_force_oracle(docs: DataFrame, cfg: DedupConfig) -> OracleResult:
         # same int32 truncation the pipeline stores/verifies with
         shingle_sets[cid] = frozenset(int(x) for x in stored_shingles(sh))
 
+    from comparador_de_registros_spark.functions.suffix import lcs_len
+
     min_len = cfg.substring.window + cfg.substring.gram - 1
+    min_overlap = cfg.substring.min_overlap
+    # LCS pre-filter: a common substring of min_overlap bytes contributes
+    # min_overlap - k + 1 k-gram positions; word-soup text maps those to
+    # many distinct shingles. Pairs sharing < _LCS_PREFILTER distinct
+    # shingles are skipped (only pathologically repetitive text — e.g. a
+    # 200-byte run of one character — could beat this bound; the fixture
+    # and the rule target natural-language transcripts).
+    lcs_prefilter = 32
     pairs: set[tuple[str, str]] = set()
     uf = _UnionFind()
     sorted_ids = sorted(ids)
@@ -75,13 +85,20 @@ def brute_force_oracle(docs: DataFrame, cfg: DedupConfig) -> OracleResult:
         for b in sorted_ids[i + 1 :]:
             sb, nb = shingle_sets[b], norms[b]
             dup = False
-            if sa and sb:
-                inter = len(sa & sb)
-                if inter and inter / (len(sa) + len(sb) - inter) >= cfg.jaccard_threshold:
-                    dup = True
+            inter = len(sa & sb) if sa and sb else 0
+            if inter and inter / (len(sa) + len(sb) - inter) >= cfg.jaccard_threshold:
+                dup = True
             if not dup and cfg.use_substring:
                 short, long_ = (na, nb) if len(na) <= len(nb) else (nb, na)
                 if len(short) >= min_len and short in long_:
+                    dup = True
+                elif (
+                    inter >= lcs_prefilter
+                    and len(na) >= min_overlap
+                    and len(nb) >= min_overlap
+                    and lcs_len(na.encode("utf-8"), nb.encode("utf-8"))
+                    >= min_overlap
+                ):
                     dup = True
             if dup:
                 pairs.add((a, b))

@@ -80,12 +80,27 @@ class SimHashConfig:
 class SubstringConfig:
     """Winnowing fingerprints for the exact-substring stage: any common
     substring of length >= window + gram - 1 shares at least one
-    selected anchor (Schleimer/Wilkerson/Aiken winnowing guarantee)."""
+    selected anchor (Schleimer/Wilkerson/Aiken winnowing guarantee).
+
+    ``min_overlap`` is the duplicate RULE: a candidate pair failing
+    Jaccard is still a duplicate if one normalized doc contains the
+    other, or if their longest common substring (suffix-array verify,
+    functions/suffix.py) is >= min_overlap bytes. It must be >=
+    window + gram - 1, otherwise the anchor generator cannot guarantee
+    such pairs become candidates at all."""
 
     gram: int = 32  # bytes per fingerprinted gram
     window: int = 64  # winnowing window (positions per selection)
     min_doc_len: int = 96  # skip docs shorter than a detectable overlap
+    min_overlap: int = 200  # LCS bytes that make a pair a substring dup
     seed: int = 0x5FF1_A11A
+
+    def __post_init__(self) -> None:
+        if self.min_overlap < self.window + self.gram - 1:
+            raise ValueError(
+                "min_overlap below window+gram-1 breaks the winnowing "
+                "candidate-recall guarantee"
+            )
 
 
 @dataclass(frozen=True)

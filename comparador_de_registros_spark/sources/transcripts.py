@@ -14,10 +14,14 @@ Planted classes (one per base conversation, chosen by ``base % 10``):
              abbreviation/one-digit-date changes mirroring the
              reference comparators)
 * 4       -> substring duplicate (base embedded contiguously in a
-             longer conversation)
+             longer conversation — full containment)
 * 5       -> turn-reordered decoy (same turns, shuffled turn_idx) —
              NOT a duplicate under stable-order assembly
-* 6-9     -> singleton noise
+* 6       -> partial-overlap duplicate (a long contiguous block of the
+             base inside a conversation with different pre/post turns —
+             NEITHER doc contains the other; exercises the suffix-array
+             LCS verify, Jaccard lands well under the threshold)
+* 7-9     -> singleton noise
 
 Ground truth (``truth_pairs``/``truth_clusters``) is derived from the
 same arithmetic, driver-side (tiny).
@@ -88,6 +92,7 @@ KIND_EXACT = (0, 1)
 KIND_NEAR = (2, 3)
 KIND_SUBSTRING = (4,)
 KIND_DECOY = (5,)
+KIND_OVERLAP = (6,)
 
 
 @dataclass(frozen=True)
@@ -120,6 +125,10 @@ def _base_turns(spec: TranscriptSpec, base: int) -> list[str]:
         lo, hi = 3, 4
     elif kind == "near":
         lo, hi = spec.max_words, spec.max_words + 4
+    elif kind == "overlap":
+        # long turns so the shared block (all but the first turn) is
+        # safely above substring.min_overlap bytes even at min_turns
+        lo, hi = spec.max_words + 2, spec.max_words + 6
     else:
         lo, hi = spec.min_words, spec.max_words
     turns = []
@@ -182,6 +191,15 @@ def _dup_plan(spec: TranscriptSpec, base: int) -> tuple[str, list[str]] | None:
         if len(turns) > 1 and (perm == np.arange(len(turns))).all():
             perm = np.roll(perm, 1)
         return "decoy", [turns[i] for i in perm]
+    if kind in KIND_OVERLAP:
+        # shared block = base minus its FIRST turn, wrapped in fresh
+        # pre/post turns: base has a turn the dup lacks and vice versa,
+        # so neither normalized doc contains the other; the block stays
+        # contiguous in both (LCS >= min_overlap catches it)
+        rng = _conv_rng(spec, base + 19_000_093)
+        pre = _base_turns(spec, int(rng.integers(0, 1 << 30)) + 850_000_000)[:2]
+        post = _base_turns(spec, int(rng.integers(0, 1 << 30)) + 870_000_000)[:2]
+        return "overlap", pre + _base_turns(spec, base)[1:] + post
     return None
 
 
@@ -239,6 +257,9 @@ def generate_transcripts(spark: SparkSession, spec: TranscriptSpec) -> DataFrame
     )
 
 
+DUP_KINDS = ("exact", "near", "substring", "overlap")
+
+
 def truth_kind(base: int) -> str | None:
     k = base % MODULUS
     if k in KIND_EXACT:
@@ -249,6 +270,8 @@ def truth_kind(base: int) -> str | None:
         return "substring"
     if k in KIND_DECOY:
         return "decoy"
+    if k in KIND_OVERLAP:
+        return "overlap"
     return None
 
 
@@ -258,7 +281,7 @@ def truth_pairs(spark: SparkSession, spec: TranscriptSpec) -> DataFrame:
     rows = []
     for base in range(spec.n_base):
         kind = truth_kind(base)
-        if kind in ("exact", "near", "substring"):
+        if kind in DUP_KINDS:
             a, b = sorted((base_conv_id(base), dup_conv_id(base)))
             rows.append((a, b, kind))
     return spark.createDataFrame(rows, ["a", "b", "kind"])
@@ -272,7 +295,7 @@ def truth_clusters(spark: SparkSession, spec: TranscriptSpec) -> DataFrame:
     for base in range(spec.n_base):
         kind = truth_kind(base)
         cid = base_conv_id(base)
-        if kind in ("exact", "near", "substring"):
+        if kind in DUP_KINDS:
             did = dup_conv_id(base)
             root = min(cid, did)
             rows.append((cid, root))

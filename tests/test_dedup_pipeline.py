@@ -226,3 +226,64 @@ def test_batch_kernel_matches_per_doc():
             np.testing.assert_array_equal(
                 np.asarray(got["anchors"][i]), expect_anchors, f"doc {i} anchors"
             )
+
+def test_partial_overlap_dups_caught_via_lcs(spark, pipeline_result):
+    """The planted partial-overlap class: a long contiguous block shared
+    between two docs where NEITHER contains the other. Jaccard sits well
+    under the threshold, full containment fails — only the suffix-array
+    LCS verify can catch it (round-1 gap: verify checked containment
+    only, and the fixture had no such class to expose it)."""
+    catalog, pipe, clusters = pipeline_result
+    docs = {r["conv_id"]: r["norm"] for r in catalog.read(spark, T_DOCS).collect()}
+    assign = {r["conv_id"]: r["cluster_id"] for r in clusters.collect()}
+    from comparador_de_registros_spark.operators.pipeline import T_VERIFIED
+
+    pairs = []
+    for base in range(SPEC.n_base):
+        if tg.truth_kind(base) == "overlap":
+            pairs.append((tg.base_conv_id(base), tg.dup_conv_id(base)))
+    assert len(pairs) >= 10
+    missed = []
+    for a, b in pairs:
+        na, nb = docs[a], docs[b]
+        # the fixture shape itself: genuinely non-containment overlap
+        assert na not in nb and nb not in na, (a, b)
+        if assign[a] != assign[b]:
+            missed.append((a, b))
+    assert len(missed) / len(pairs) <= 0.01, f"missed overlap dups: {missed[:5]}"
+    # and the verified table attributes them to the LCS rule
+    verified = catalog.read(spark, T_VERIFIED)
+    n_overlap = verified.where("overlap").count()
+    assert n_overlap >= len(pairs) * 0.99, n_overlap
+
+
+def test_lcs_len_matches_brute_force():
+    import numpy as np
+
+    from comparador_de_registros_spark.functions.suffix import lcs_len
+
+    def brute(a: bytes, b: bytes) -> int:
+        best = 0
+        for i in range(len(a)):
+            for j in range(len(b)):
+                k = 0
+                while i + k < len(a) and j + k < len(b) and a[i + k] == b[j + k]:
+                    k += 1
+                best = max(best, k)
+        return best
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (b"", b""), (b"a", b""), (b"abc", b"abc"), (b"abc", b"xbcy"),
+        (b"aaaa", b"aa"), (b"banana", b"ananas"), (b"abcdefgh", b"xyz"),
+    ]
+    for _ in range(150):
+        n1, n2 = rng.integers(0, 32, 2)
+        cases.append(
+            (
+                bytes(rng.integers(97, 100, n1).astype(np.uint8)),
+                bytes(rng.integers(97, 100, n2).astype(np.uint8)),
+            )
+        )
+    for a, b in cases:
+        assert lcs_len(a, b) == brute(a, b), (a, b)
