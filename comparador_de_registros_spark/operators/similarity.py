@@ -74,40 +74,53 @@ def cosine_topk(
     )
 
 
-def srp_bits_udf(dim: int, n_bits: int, seed: int):
+def srp_bits_udf(n_bits: int, seed: int, dim: int | None = None):
     """pandas UDF: embedding -> packed sign-bit fingerprint (long).
     The Gaussian projection matrix is regenerated from the seed in each
-    worker (deterministic, no broadcast payload)."""
+    worker (deterministic, no broadcast payload); the embedding
+    dimension is read from the first vector of each Arrow batch when not
+    given — no driver-side probe action (round-1 ran a ``.first()``
+    per query invocation)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(T.LongType())
     def _udf(vecs: pd.Series) -> pd.Series:
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, n_bits))
-        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
-        if mat.size == 0:
+        if len(vecs) == 0:
             return pd.Series([], dtype="int64")
+        d = dim if dim is not None else len(vecs.iloc[0])
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((d, n_bits))
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
         signs = (mat @ planes) > 0
-        weights = (1 << np.arange(n_bits, dtype=np.uint64))
-        packed = (signs.astype(np.uint64) * weights[None, :]).sum(axis=1)
-        return pd.Series(packed.astype(np.int64))
+        weights = np.uint64(1) << np.arange(n_bits, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            packed = (signs.astype(np.uint64) * weights[None, :]).sum(axis=1)
+        return pd.Series(packed.view(np.int64))
 
     return _udf
 
 
 def srp_lsh_buckets(
     embeddings: DataFrame,
-    dim: int,
-    n_bits: int = 16,
+    n_bits: int = 64,
     bands: int = 4,
     seed: int = 0xA11CE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """-> (vec_id, band, key): one bucket key per band of sign bits.
     Two vectors with cosine close to 1 agree on a full band with high
-    probability (P[bit agree] = 1 - theta/pi)."""
-    bits = srp_bits_udf(dim, n_bits, seed)(F.col(vec_col))
+    probability (P[bit agree] = 1 - theta/pi).
+
+    Geometry: width = n_bits/bands sign bits per key. The 64/4 default
+    gives 16-bit keys — 65,536 buckets per band, so expected bucket
+    occupancy is n/2^16 (round-1 shipped 4-bit keys: 16 buckets/band =
+    O(n^2/16) candidate pairs). For corpora >> 10^7 raise n_bits (e.g.
+    96/4 -> 2^24 buckets) — recall at cosine c scales as
+    1-(1-p^width)^bands with p = 1 - arccos(c)/pi; the bucket-size cap
+    below is the skew guard either way."""
+    bits = srp_bits_udf(n_bits, seed, dim)(F.col(vec_col))
     width = n_bits // bands
     mask = (1 << width) - 1
     return embeddings.select(
@@ -125,36 +138,60 @@ def srp_lsh_buckets(
 
 def srp_candidate_pairs(
     embeddings: DataFrame,
-    dim: int,
-    n_bits: int = 16,
+    n_bits: int = 64,
     bands: int = 4,
     seed: int = 0xA11CE,
     min_cosine: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """Approximate near-duplicate vectors: bucket-join candidates then
     exact-cosine verify (the embedding-space analogue of MinHash-LSH +
-    Jaccard verify). -> (a, b, cosine) with a < b."""
-    buckets = srp_lsh_buckets(embeddings, dim, n_bits, bands, seed, id_col, vec_col)
-    l = buckets.alias("l")
-    r = buckets.alias("r")
-    cand = (
-        l.join(r, ["band", "key"])
-        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(
-            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
-        )
-        .distinct()
+    Jaccard verify). Buckets larger than ``max_bucket_size`` are dropped
+    from pair enumeration (same skew guard + accounting shape as
+    operators/lsh.py; use :func:`srp_candidate_pairs_with_dropped` when
+    the dropped-bucket table is needed for metrics).
+    -> (a, b, cosine) with a < b."""
+    pairs, _ = srp_candidate_pairs_with_dropped(
+        embeddings, n_bits, bands, seed, min_cosine, id_col, vec_col, dim,
+        max_bucket_size,
+    )
+    return pairs
+
+
+def srp_candidate_pairs_with_dropped(
+    embeddings: DataFrame,
+    n_bits: int = 64,
+    bands: int = 4,
+    seed: int = 0xA11CE,
+    min_cosine: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    max_bucket_size: int = 2000,
+) -> tuple[DataFrame, DataFrame]:
+    """As :func:`srp_candidate_pairs`, also returning
+    ``dropped(band, key, sz)`` for lineage/metrics."""
+    from comparador_de_registros_spark.operators.lsh import _self_join_pairs
+
+    buckets = srp_lsh_buckets(
+        embeddings, n_bits, bands, seed, id_col, vec_col, dim
+    ).withColumnRenamed(id_col, "conv_id")
+    cand, dropped = _self_join_pairs(
+        buckets, ["band", "key"], max_bucket_size, "srp"
     )
     vecs = embeddings.select(F.col(id_col), F.col(vec_col))
     withv = (
-        cand.join(vecs.withColumnRenamed(id_col, "a").withColumnRenamed(vec_col, "va"), "a")
+        cand.drop("source")
+        .join(vecs.withColumnRenamed(id_col, "a").withColumnRenamed(vec_col, "va"), "a")
         .join(vecs.withColumnRenamed(id_col, "b").withColumnRenamed(vec_col, "vb"), "b")
     )
-    return (
+    pairs = (
         withv.select(
             "a", "b", F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine")
         )
         .where(F.col("cosine") >= min_cosine)
     )
+    return pairs, dropped

@@ -95,8 +95,30 @@ def test_cosine_topk_exact(spark):
 
 def test_srp_candidates_find_planted_neighbor(spark):
     emb = _embeddings(spark)
-    pairs = srp_candidate_pairs(emb, dim=16, min_cosine=0.95).collect()
+    # dim inferred inside the UDF (no driver probe); scale-safe default
+    # geometry (64 bits / 4 bands). At cosine ~0.99 a single 16-bit band
+    # match has p ~ 0.5, so use more, narrower bands for the tiny
+    # fixture's recall (the production default trades recall for bucket
+    # granularity at corpus scale).
+    pairs = srp_candidate_pairs(emb, n_bits=64, bands=8, min_cosine=0.95).collect()
     assert any((r["a"], r["b"]) == (0, 1) for r in pairs)
+
+
+def test_srp_bucket_cap_drops_oversized(spark):
+    """Skew guard: identical vectors all land in one bucket; with a cap
+    below the bucket size, the pairs must be dropped AND accounted."""
+    from comparador_de_registros_spark.operators.similarity import (
+        srp_candidate_pairs_with_dropped,
+    )
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs, dropped = srp_candidate_pairs_with_dropped(
+        emb, min_cosine=0.5, max_bucket_size=10
+    )
+    assert pairs.count() == 0
+    d = dropped.collect()
+    assert d and all(r["sz"] == 30 for r in d)
 
 
 def test_multimodal_plumbing(spark):
