@@ -66,8 +66,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; signature-based queries
-    (minhash_dup_pairs, doc_dedup_clusters, embedding_near_pairs) are
-    intentionally omitted -> rows-only driver check (their semantics
-    are pinned by tests/ against brute-force oracles)."""
+    """DuckDB-equivalent SQL per query. Signature-based queries
+    (minhash_dup_pairs, doc_dedup_clusters, embedding_near_pairs) have
+    no SQL-expressible equivalent; their oracle reads the pinned
+    expected-output parquet committed under expected/sf0.01/
+    (tools/make_expected.py) — a full value gate; semantics are pinned
+    separately by tests/ against brute-force oracles."""
     return dict(ORACLES)

@@ -19,6 +19,7 @@ rows-only check; their semantics are pinned by tests/ instead.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -994,6 +995,33 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_pairs": q_embedding_near_pairs,
 }
 
+# Signature-based queries (MinHash-LSH, SRP) have no SQL-expressible
+# oracle; their driver gate reads a PINNED expected-output parquet
+# instead (committed under expected/, regenerated by
+# tools/make_expected.py at the pinned seeds/config — a regression
+# oracle; the SEMANTICS are pinned by tests/ against brute-force
+# oracles). Registered only when the snapshot exists on disk so a
+# partial checkout degrades to the rows-only check instead of erroring.
+EXPECTED_ORACLE_QUERIES = (
+    "minhash_dup_pairs",
+    "doc_dedup_clusters",
+    "embedding_near_pairs",
+)
+
+_EXPECTED_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "expected"
+)
+
+
+def expected_oracle_sql(name: str, sf_tag: str = "sf0.01") -> str | None:
+    """DuckDB SQL reading the pinned expected output for ``name`` at
+    scale factor ``sf_tag``; None when the snapshot is absent."""
+    path = os.path.join(_EXPECTED_DIR, sf_tag, name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return None
+    return f"SELECT * FROM read_parquet('{path}/*.parquet')"
+
+
 ORACLES: dict[str, str] = {
     "exact_dup_clusters": SQL_EXACT_DUP_CLUSTERS,
     "tokenset_dup_pairs": SQL_TOKENSET_DUP_PAIRS,
@@ -1020,5 +1048,11 @@ ORACLES: dict[str, str] = {
     "nation_customer_counts": SQL_NATION_CUSTOMER_COUNTS,
     "cosine_topk": SQL_COSINE_TOPK,
     # minhash_dup_pairs / doc_dedup_clusters / embedding_near_pairs:
-    # signature-based, not SQL-expressible -> rows-only driver check.
+    # signature-based, not SQL-expressible -> pinned expected-output
+    # parquet oracles, attached below when the snapshot exists.
 }
+
+for _name in EXPECTED_ORACLE_QUERIES:
+    _sql = expected_oracle_sql(_name)
+    if _sql is not None:
+        ORACLES[_name] = _sql
