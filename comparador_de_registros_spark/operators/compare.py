@@ -168,6 +168,126 @@ def _make_number_udf(names: Sequence[str]):
 
 # --- frequency artifacts ----------------------------------------------------
 
+_POS_FIRST, _POS_MIDDLE, _POS_LAST = "first", "middle", "last"
+
+
+def _row_token_entries(col: Column, positional: bool) -> Column:
+    """array<struct(part, token)> of the LEFT value's tokens — the exact
+    lookups the scorer performs (nomes.py positional list: first +
+    middles + last, a single token appearing as first AND last; texto.py
+    flat lookups tagged 'flat')."""
+    toks = F.filter(F.split(padroniza_col(col), " "), lambda t: t != F.lit(""))
+    if not positional:
+        return F.transform(
+            toks, lambda t: F.struct(F.lit("flat").alias("part"), t.alias("token"))
+        )
+    return F.when(F.size(toks) == 0, F.array().cast(
+        "array<struct<part:string,token:string>>"
+    )).otherwise(
+        F.concat(
+            F.array(
+                F.struct(
+                    F.lit(_POS_FIRST).alias("part"),
+                    F.element_at(toks, 1).alias("token"),
+                ),
+                F.struct(
+                    F.lit(_POS_LAST).alias("part"),
+                    F.element_at(toks, -1).alias("token"),
+                ),
+            ),
+            F.transform(
+                F.slice(toks, 2, F.greatest(F.size(toks) - 2, F.lit(0))),
+                lambda t: F.struct(F.lit(_POS_MIDDLE).alias("part"), t.alias("token")),
+            ),
+        )
+    )
+
+
+def attach_freq_maps(pairs_df: DataFrame, spec: CompareSpec) -> DataFrame:
+    """The JOIN-based frequency path (scale alternative to broadcast
+    dicts): for every N/T pair, compute the distributed frequency table,
+    join the row's own token lookups against it, and re-aggregate a
+    per-row ``map<part:token, count>`` column ``__{name}_freqmap``.
+
+    No driver-side collect — token dictionaries that exceed any
+    broadcast budget (10^12-turn T-field vocabularies) stay distributed;
+    the shuffle is proportional to tokens-per-row, not dictionary size.
+
+    Join-back uses ``__pair_id`` = monotonically_increasing_id(); both
+    branches recompute it from the same source lineage, so inputs must
+    be deterministic sources (checkpointed tables / parquet reads — the
+    pipeline's candidate tables are). Returns the pairs with the map
+    columns appended (``__pair_id`` dropped)."""
+    need = [
+        p for p in spec.pairs if p.field_type in (FieldType.TEXT, FieldType.NAME)
+    ]
+    if not need:
+        return pairs_df
+    df = pairs_df.withColumn("__pair_id", F.monotonically_increasing_id())
+    for p in need:
+        positional = p.field_type == FieldType.NAME
+        if positional:
+            freq = freq_ops.positional_name_freq(pairs_df, p.left, p.right)
+        else:
+            freq = freq_ops.flat_token_freq(pairs_df, p.left, p.right).select(
+                F.lit("flat").alias("part"), "token", "count"
+            )
+        lookups = df.select(
+            "__pair_id",
+            F.explode(_row_token_entries(F.col(p.left), positional)).alias("e"),
+        ).select("__pair_id", "e.part", "e.token")
+        joined = lookups.join(freq, ["part", "token"], "left").select(
+            "__pair_id",
+            F.concat_ws(":", "part", "token").alias("k"),
+            F.coalesce("count", F.lit(0)).cast("long").alias("v"),
+        )
+        maps = joined.groupBy("__pair_id").agg(
+            F.map_from_entries(
+                F.array_distinct(F.collect_list(F.struct("k", "v")))
+            ).alias(f"__{p.name}_freqmap")
+        )
+        df = df.join(maps, "__pair_id", "left")
+    return df.drop("__pair_id")
+
+
+def _split_positional_map(m: Mapping[str, int] | None) -> list[dict[str, int]]:
+    maps: list[dict[str, int]] = [{}, {}, {}]
+    if m:
+        pos = {_POS_FIRST: 0, _POS_MIDDLE: 1, _POS_LAST: 2}
+        for k, v in m.items():
+            part, tok = k.split(":", 1)
+            maps[pos[part]][tok] = v
+    return maps
+
+
+def _make_name_udf_joined(include_abbrev: bool, names: Sequence[str]):
+    @pandas_udf(_struct_type(7, names))
+    def _udf(v1: pd.Series, v2: pd.Series, fm: pd.Series) -> pd.DataFrame:
+        rows = [
+            S.score_name(a or "", b or "", _split_positional_map(m), include_abbrev)
+            for a, b, m in zip(v1, v2, fm)
+        ]
+        return pd.DataFrame(rows, columns=list(names))
+
+    return _udf
+
+
+def _make_text_udf_joined(names: Sequence[str]):
+    @pandas_udf(_struct_type(7, names))
+    def _udf(v1: pd.Series, v2: pd.Series, fm: pd.Series) -> pd.DataFrame:
+        rows = [
+            S.score_text(
+                a or "",
+                b or "",
+                {k.split(":", 1)[1]: v for k, v in m.items()} if m else {},
+            )
+            for a, b, m in zip(v1, v2, fm)
+        ]
+        return pd.DataFrame(rows, columns=list(names))
+
+    return _udf
+
+
 def build_freq_artifacts(
     pairs_df: DataFrame, spec: CompareSpec
 ) -> dict[str, Any]:
@@ -194,18 +314,34 @@ def score_pairs(
     pairs_df: DataFrame,
     spec: CompareSpec,
     freq_artifacts: Mapping[str, Any] | None = None,
+    freq_strategy: str = "broadcast",
 ) -> DataFrame:
     """Score every candidate pair under ``spec``.
 
     Appends one double column per criterion (named
     ``{pair.name}_{criterion}``) plus ``spec.total_column``. Input
     columns pass through untouched (the reference emits input + criteria
-    + nota final, comparaRegistros.py:327-330)."""
-    if freq_artifacts is None:
-        freq_artifacts = build_freq_artifacts(pairs_df, spec)
+    + nota final, comparaRegistros.py:327-330).
+
+    ``freq_strategy``: 'broadcast' collects each N/T frequency table
+    into a driver dict shipped as a Spark broadcast — right when the
+    dictionary fits executor memory. 'join' never collects: per-row
+    frequency maps are attached by a distributed join
+    (:func:`attach_freq_maps`) — the scale path when the token
+    dictionary exceeds any broadcast budget. Both produce identical
+    scores (parity-pinned in tests)."""
+    if freq_strategy not in ("broadcast", "join"):
+        raise ValueError(f"unknown freq_strategy {freq_strategy!r}")
+    use_join = freq_strategy == "join"
+    if use_join:
+        freq_artifacts = {}
+        df = attach_freq_maps(pairs_df, spec)
+    else:
+        if freq_artifacts is None:
+            freq_artifacts = build_freq_artifacts(pairs_df, spec)
+        df = pairs_df
 
     sc = pairs_df.sparkSession.sparkContext
-    df = pairs_df
     struct_cols: list[tuple[str, list[str]]] = []  # (tmp struct col, criterion cols)
     native_cols: dict[str, Column] = {}
 
@@ -231,8 +367,14 @@ def score_pairs(
             freq = freq_artifacts.get(p.name)
             bc = sc.broadcast(freq) if freq is not None else None
             if p.field_type == FieldType.NAME:
-                udf = _make_name_udf(bc, spec.include_abbreviations, crit_names)
-                args = (v1, v2)
+                if use_join:
+                    udf = _make_name_udf_joined(
+                        spec.include_abbreviations, crit_names
+                    )
+                    args = (v1, v2, F.col(f"__{p.name}_freqmap"))
+                else:
+                    udf = _make_name_udf(bc, spec.include_abbreviations, crit_names)
+                    args = (v1, v2)
                 if spec.legacy_empty_guards:
                     # processar zeroes the whole block when either side
                     # is empty (comparaRegistros.py:114-121); blanking
@@ -241,10 +383,15 @@ def score_pairs(
                     args = (
                         F.when(guard, v1).otherwise(F.lit("")),
                         F.when(guard, v2).otherwise(F.lit("")),
+                        *args[2:],
                     )
             elif p.field_type == FieldType.TEXT:
-                udf = _make_text_udf(bc, crit_names)
-                args = (v1, v2)
+                if use_join:
+                    udf = _make_text_udf_joined(crit_names)
+                    args = (v1, v2, F.col(f"__{p.name}_freqmap"))
+                else:
+                    udf = _make_text_udf(bc, crit_names)
+                    args = (v1, v2)
             elif p.field_type == FieldType.ADDRESS:
                 udf = _make_address_udf(crit_names)
                 args = (v1, v2)
@@ -262,6 +409,14 @@ def score_pairs(
         for out_name, field_name in zip(out_names, df.schema[tmp].dataType.names):
             df = df.withColumn(out_name, F.col(tmp)[field_name])
     df = df.drop(*[tmp for tmp, _ in struct_cols])
+    if use_join:
+        df = df.drop(
+            *[
+                f"__{p.name}_freqmap"
+                for p in spec.pairs
+                if p.field_type in (FieldType.TEXT, FieldType.NAME)
+            ]
+        )
 
     for name, c in native_cols.items():
         df = df.withColumn(name, c)

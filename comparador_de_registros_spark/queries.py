@@ -590,6 +590,218 @@ FROM p
 """
 
 
+# --- the full scoring engine, driver-gated ---------------------------------
+
+# SQL-expressible criteria emitted by the engine gate (everything except
+# the soundex criterion nome_qtd_frag_muito_parec — DuckDB has no
+# soundex; it IS computed by the engine, just not selected). nota_sql
+# sums these in this exact order on both sides (bit-stable fold).
+_ENGINE_COLS = [
+    "nome_prim_frag_igual", "nome_ult_frag_igual", "nome_qtd_frag_iguais",
+    "nome_qtd_frag_raros", "nome_qtd_frag_comuns", "nome_qtd_frag_abrev",
+    "dt_dt_iguais", "dt_dt_ap_1digi", "dt_dt_inv_dia", "dt_dt_inv_mes",
+    "dt_dt_inv_ano",
+    "loc_uf_igual", "loc_uf_prox", "loc_local_igual", "loc_local_prox",
+]
+
+
+def q_score_pairs_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pair-scoring engine gate: N (pandas UDF with positional
+    frequency maps via the JOIN-based freq path — no driver collect) +
+    D and C (native) over deterministic part-derived pairs with planted
+    date-edit classes. Exercises operators/compare.py:score_pairs
+    including build/attach of frequency artifacts; the oracle reproduces
+    every criterion incl. rare/common frequency ratios in SQL."""
+    from comparador_de_registros_spark.operators.compare import score_pairs
+    from comparador_de_registros_spark.plans.spec import (
+        ComparePair,
+        CompareSpec,
+        FieldType,
+    )
+
+    part = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    # planted frequency structure so the rare/common branches actually
+    # fire at the driver's sf: every name ends with 'comum' (last-position
+    # count >1000 at sf0.01 -> c_common), and every 11th key appends a
+    # per-key token 'zz<k>' (last-position count 2 -> c_rare)
+    name_a = F.concat(
+        F.lower(F.trim("p_name")),
+        F.lit(" comum"),
+        F.when(k % 11 == 0, F.concat(F.lit(" zz"), k.cast("string"))).otherwise(
+            F.lit("")
+        ),
+    )
+    name_b = F.regexp_replace(name_a, "^([a-z])[a-z]+", "$1")
+    y = (k % 30 + 1990).cast("string")
+    mo = F.lpad((k % 12 + 1).cast("string"), 2, "0")
+    dy = F.lpad((k % 28 + 1).cast("string"), 2, "0")
+    d1 = F.concat(y, mo, dy)
+    cls = k % 5
+    nxt = ((F.substring(dy, 2, 1).cast("int") + 1) % 10).cast("string")
+    d2 = (
+        F.when(cls == 0, d1)
+        .when(cls == 1, F.concat(y, mo, F.substring(dy, 1, 1), nxt))
+        .when(cls == 2, F.concat(y, mo, F.reverse(dy)))
+        .when(cls == 3, F.concat(y, F.reverse(mo), dy))
+        .otherwise(F.concat((k % 30 + 1997).cast("string"), mo, dy))
+    )
+    l1, l2 = _loc_codes(k)
+    pairs = part.select(
+        k.alias("key"),
+        name_a.alias("name_a"),
+        name_b.alias("name_b"),
+        d1.alias("d1"),
+        d2.alias("d2"),
+        l1.alias("loc_a"),
+        l2.alias("loc_b"),
+    )
+    spec = CompareSpec(
+        pairs=(
+            ComparePair("name_a", "name_b", FieldType.NAME, "nome"),
+            ComparePair("d1", "d2", FieldType.DATE, "dt"),
+            ComparePair("loc_a", "loc_b", FieldType.LOCALITY, "loc"),
+        )
+    )
+    scored = score_pairs(pairs, spec, freq_strategy="join")
+    total = None
+    for c in _ENGINE_COLS:
+        total = F.col(c) if total is None else total + F.col(c)
+    return scored.select("key", *_ENGINE_COLS, total.alias("nota_sql"))
+
+
+def _sql_score_engine() -> str:
+    raw_a = (
+        "lower(trim(p_name)) || ' comum' || "
+        "(CASE WHEN p_partkey % 11 = 0 THEN ' zz' || CAST(p_partkey AS VARCHAR) "
+        "ELSE '' END)"
+    )
+    pad_a = _SQL_PADRONIZA.format(c=raw_a)
+    pad_b = _SQL_PADRONIZA.format(
+        c=f"regexp_replace({raw_a}, '^([a-z])[a-z]+', '\\1')"
+    )
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS key,
+    {pad_a} AS na,
+    {pad_b} AS nb,
+    CAST(1990 + p_partkey % 30 AS VARCHAR)
+      || lpad(CAST(p_partkey % 12 + 1 AS VARCHAR), 2, '0')
+      || lpad(CAST(p_partkey % 28 + 1 AS VARCHAR), 2, '0') AS d1,
+    CASE p_partkey % 5
+      WHEN 0 THEN CAST(1990 + p_partkey % 30 AS VARCHAR)
+        || lpad(CAST(p_partkey % 12 + 1 AS VARCHAR), 2, '0')
+        || lpad(CAST(p_partkey % 28 + 1 AS VARCHAR), 2, '0')
+      WHEN 1 THEN CAST(1990 + p_partkey % 30 AS VARCHAR)
+        || lpad(CAST(p_partkey % 12 + 1 AS VARCHAR), 2, '0')
+        || substr(lpad(CAST(p_partkey % 28 + 1 AS VARCHAR), 2, '0'), 1, 1)
+        || CAST((CAST(substr(lpad(CAST(p_partkey % 28 + 1 AS VARCHAR), 2, '0'), 2, 1) AS INT) + 1) % 10 AS VARCHAR)
+      WHEN 2 THEN CAST(1990 + p_partkey % 30 AS VARCHAR)
+        || lpad(CAST(p_partkey % 12 + 1 AS VARCHAR), 2, '0')
+        || reverse(lpad(CAST(p_partkey % 28 + 1 AS VARCHAR), 2, '0'))
+      WHEN 3 THEN CAST(1990 + p_partkey % 30 AS VARCHAR)
+        || reverse(lpad(CAST(p_partkey % 12 + 1 AS VARCHAR), 2, '0'))
+        || lpad(CAST(p_partkey % 28 + 1 AS VARCHAR), 2, '0')
+      ELSE CAST(1997 + p_partkey % 30 AS VARCHAR)
+        || lpad(CAST(p_partkey % 12 + 1 AS VARCHAR), 2, '0')
+        || lpad(CAST(p_partkey % 28 + 1 AS VARCHAR), 2, '0')
+    END AS d2,
+    (CASE p_partkey % 3 WHEN 0 THEN 'SP' WHEN 1 THEN 'RJ' ELSE 'MG' END)
+      || lpad(((p_partkey * 7) % 10000)::VARCHAR, 4, '0') AS loc_a,
+    (CASE p_partkey % 5 WHEN 0 THEN 'SQ' WHEN 1 THEN 'RJ' WHEN 2 THEN 'SP'
+          WHEN 3 THEN 'MG'
+          ELSE (CASE p_partkey % 3 WHEN 0 THEN 'SP' WHEN 1 THEN 'RJ' ELSE 'MG' END)
+     END)
+      || lpad(((p_partkey * 7 + (p_partkey % 3)) % 10000)::VARCHAR, 4, '0') AS loc_b
+  FROM part
+),
+ptoks AS (
+  SELECT key,
+    list_filter(string_split(na, ' '), x -> x <> '') AS p1,
+    list_filter(string_split(nb, ' '), x -> x <> '') AS p2,
+    d1, d2, loc_a, loc_b
+  FROM base
+),
+-- positional frequency over BOTH sides (freqBuilder semantics: a
+-- single-token name counts as first AND last)
+vals AS (SELECT na AS v FROM base UNION ALL SELECT nb FROM base),
+vtoks AS (
+  SELECT list_filter(string_split(v, ' '), x -> x <> '') AS t FROM vals
+),
+nonempty AS (SELECT t FROM vtoks WHERE len(t) > 0),
+tagged AS (
+  SELECT 'first' AS part, t[1] AS token FROM nonempty
+  UNION ALL SELECT 'last', t[-1] FROM nonempty
+  UNION ALL SELECT 'middle', unnest(t[2:len(t)-1]) FROM nonempty WHERE len(t) > 2
+),
+freq AS (SELECT part, token, count(*) AS cnt FROM tagged GROUP BY 1, 2),
+-- the scorer's positional lookups over p1 (nomes.py:45-62):
+-- [first]+[middles...]+[last], single token hitting first AND last
+rowtok AS (
+  SELECT key, 'first' AS part, p1[1] AS token FROM ptoks WHERE len(p1) > 0
+  UNION ALL
+  SELECT key, 'last', p1[-1] FROM ptoks WHERE len(p1) > 0
+  UNION ALL
+  SELECT key, 'middle', unnest(p1[2:len(p1)-1]) FROM ptoks WHERE len(p1) > 2
+),
+rc AS (
+  SELECT rowtok.key,
+    sum(CASE WHEN coalesce(freq.cnt, 0) < 5 THEN 1 ELSE 0 END) AS n_rare,
+    sum(CASE WHEN coalesce(freq.cnt, 0) > 1000 THEN 1 ELSE 0 END) AS n_common
+  FROM rowtok LEFT JOIN freq USING (part, token)
+  GROUP BY rowtok.key
+),
+crit AS (
+  SELECT p.key,
+    CASE WHEN p1[1] = p2[1] THEN 1.0 ELSE 0.0 END AS nome_prim_frag_igual,
+    CASE WHEN p1[-1] = p2[-1] THEN 1.0 ELSE 0.0 END AS nome_ult_frag_igual,
+    len(list_filter(p1, x -> list_contains(p2, x))) / len(p1)
+      AS nome_qtd_frag_iguais,
+    rc.n_rare / len(p1) AS nome_qtd_frag_raros,
+    -(rc.n_common / len(p1)) AS nome_qtd_frag_comuns,
+    (len(list_filter(p1, x -> length(x) = 1
+         AND len(list_filter(p2, y -> starts_with(y, x))) > 0))
+     + len(list_filter(p2, x -> length(x) = 1
+         AND len(list_filter(p1, y -> starts_with(y, x))) > 0)))
+    / len(p1) * 0.5 AS nome_qtd_frag_abrev,
+    CASE WHEN d1 = d2 THEN 1.0 ELSE 0.0 END AS dt_dt_iguais,
+    CASE WHEN levenshtein(d1, d2) = 1 THEN 1.0 ELSE 0.0 END AS dt_dt_ap_1digi,
+    CASE WHEN levenshtein(d1, d2) = 2
+          AND reverse(substr(d1, 7, 2)) = substr(d2, 7, 2)
+         THEN 1.0 ELSE 0.0 END AS dt_dt_inv_dia,
+    CASE WHEN levenshtein(d1, d2) = 2
+          AND reverse(substr(d1, 7, 2)) <> substr(d2, 7, 2)
+          AND reverse(substr(d1, 5, 2)) = substr(d2, 5, 2)
+         THEN 1.0 ELSE 0.0 END AS dt_dt_inv_mes,
+    CASE WHEN levenshtein(d1, d2) = 2
+          AND reverse(substr(d1, 7, 2)) <> substr(d2, 7, 2)
+          AND reverse(substr(d1, 5, 2)) <> substr(d2, 5, 2)
+          AND levenshtein(substr(d1, 1, 4), substr(d2, 1, 4)) = 2
+          AND array_to_string(list_sort(string_split(substr(d1, 1, 4), '')), '')
+            = array_to_string(list_sort(string_split(substr(d2, 1, 4), '')), '')
+         THEN 1.0 ELSE 0.0 END AS dt_dt_inv_ano,
+    CASE WHEN substr(loc_a, 1, 2) = substr(loc_b, 1, 2) THEN 1.0 ELSE 0.0 END
+      AS loc_uf_igual,
+    -- 2-char UFs at edit distance 2 differ in the first letter, so the
+    -- soundex fallback (0.3) is unreachable on these codes
+    CASE WHEN substr(loc_a, 1, 2) <> substr(loc_b, 1, 2)
+          AND levenshtein(substr(loc_a, 1, 2), substr(loc_b, 1, 2)) = 1
+         THEN 0.5 ELSE 0.0 END AS loc_uf_prox,
+    CASE WHEN substr(loc_a, 3, 4) = substr(loc_b, 3, 4) THEN 1.0 ELSE 0.0 END
+      AS loc_local_igual,
+    CASE WHEN substr(loc_a, 3, 4) <> substr(loc_b, 3, 4)
+          AND levenshtein(substr(loc_a, 3, 4), substr(loc_b, 3, 4)) = 1 THEN 0.8
+         WHEN substr(loc_a, 3, 4) <> substr(loc_b, 3, 4)
+          AND levenshtein(substr(loc_a, 3, 4), substr(loc_b, 3, 4)) = 2 THEN 0.5
+         ELSE 0.0 END AS loc_local_prox
+  FROM ptoks p JOIN rc ON p.key = rc.key
+)
+SELECT key, {", ".join(_ENGINE_COLS)},
+  {" + ".join(_ENGINE_COLS)} AS nota_sql
+FROM crit
+"""
+
+
 def q_name_freq_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The positional name-frequency aggregation (SURVEY §2.4) over part
     names: first/middle/last token counts in one pass, single-token
@@ -981,6 +1193,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_names_basic": q_compare_names_basic,
     "compare_texts_basic": q_compare_texts_basic,
     "name_freq_positional": q_name_freq_positional,
+    "score_pairs_engine": q_score_pairs_engine,
     "events_sessionize": q_events_sessionize,
     # analytics
     "pricing_summary": q_pricing_summary,
@@ -1038,6 +1251,7 @@ ORACLES: dict[str, str] = {
     "compare_names_basic": _sql_compare_names(),
     "compare_texts_basic": _sql_compare_texts(),
     "name_freq_positional": _sql_name_freq(),
+    "score_pairs_engine": _sql_score_engine(),
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_customer_revenue": SQL_TOP_CUSTOMER_REVENUE,

@@ -203,3 +203,24 @@ def test_normalize_tipo_code_reference_parity():
     # FieldType integration
     assert FieldType.parse_with_context("L", "cod_ibge") == FieldType.LOCALITY
     assert FieldType.parse_with_context("T", "valor_total") == FieldType.NUMBER
+
+
+def test_join_freq_strategy_matches_broadcast(spark):
+    """The join-based frequency path (no driver collect — the 10^12-turn
+    scale alternative to broadcast dicts) must score identically to the
+    broadcast path on every fixture row, including the single-token
+    first-AND-last lookup quirk and tokens missing from a positional
+    map."""
+    df = spark.createDataFrame(ROWS, COLS)
+    cols = SPEC.criterion_columns() + [SPEC.total_column]
+    b = {
+        tuple(r[c] for c in COLS): [r[c] for c in cols]
+        for r in score_pairs(df, SPEC).collect()
+    }
+    j = {
+        tuple(r[c] for c in COLS): [r[c] for c in cols]
+        for r in score_pairs(df, SPEC, freq_strategy="join").collect()
+    }
+    assert b.keys() == j.keys()
+    for k in b:
+        assert b[k] == pytest.approx(j[k], abs=1e-12), (k, b[k], j[k])
