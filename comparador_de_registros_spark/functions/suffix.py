@@ -23,6 +23,25 @@ from __future__ import annotations
 
 import numpy as np
 
+from comparador_de_registros_spark.functions import hashing as H
+
+
+def shares_min_overlap(a: bytes, b: bytes, k: int, seed: int = 0) -> bool:
+    """True iff ``a`` and ``b`` share a common substring of >= ``k``
+    bytes — i.e. exactly the decision ``lcs_len(a, b) >= k``, but via
+    one vectorized rolling k-gram hash pass per document plus a set
+    intersection (O(n log n), ~100 us/pair) instead of a per-pair
+    suffix array (~ms/pair). A false positive requires a 64-bit hash
+    collision between the two documents' gram sets (~n*m/2^64 ≈ 1e-13
+    per pair); :func:`lcs_len` is the exact reference — the brute-force
+    oracle uses it, so the two methods cross-check each other on every
+    fixture run."""
+    if len(a) < k or len(b) < k:
+        return False
+    ha = H.rolling_kgram_hashes(a, k, seed)
+    hb = H.rolling_kgram_hashes(b, k, seed)
+    return bool(np.intersect1d(ha, hb).size)
+
 
 def suffix_array_with_ranks(
     s: np.ndarray,

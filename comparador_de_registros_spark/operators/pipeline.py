@@ -61,6 +61,13 @@ class DedupPipeline:
     catalog: Catalog
     cfg: DedupConfig = field(default_factory=DedupConfig)
     run_id: str = "run0"
+    # "immediate": one metrics table write per stage (crash-safe — a
+    # killed run keeps every finished stage's metrics). "deferred":
+    # buffer and flush ONE table at the end of run() — drops 6 tiny
+    # Spark jobs of fixed scheduling cost from the timed path; used by
+    # the scaling bench where per-stage crash metrics don't matter.
+    metrics_mode: str = "immediate"
+    _pending_metrics: list = field(default_factory=list, repr=False)
 
     # --- helpers -------------------------------------------------------------
 
@@ -81,7 +88,14 @@ class DedupPipeline:
             obs, *[c.alias(name) for name, c in metric_cols.items()]
         )
         if repartition_by is not None:
-            df = df.repartition(repartition_by)
+            # EXPLICIT partition count: a bare repartition(col) is
+            # AQE-coalescible, which shrank checkpoint tables to a
+            # handful of fat files — the downstream scan then ran fewer
+            # tasks than executor cores (measured: the sign stage got 9
+            # tasks, one straggler wave at 8 executors). An explicit
+            # count is exempt from AQE coalescing.
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            df = df.repartition(n_part, repartition_by)
         self.catalog.write(df, table, num_files=num_files)
         metrics = {k: float(v if v is not None else 0) for k, v in obs.get.items()}
         self._log_metrics(spark, stage, metrics)
@@ -90,11 +104,25 @@ class DedupPipeline:
         data = [
             (self.run_id, stage, k, float(v), time.time()) for k, v in rows.items()
         ]
+        if self.metrics_mode == "deferred":
+            self._pending_metrics.extend(data)
+            return
         df = spark.createDataFrame(
             data, ["run_id", "stage", "metric", "value", "logged_at"]
         )
         name = f"{T_METRICS}/{self.run_id}_{stage}"
         self.catalog.write(df, name, num_files=1)
+
+    def flush_metrics(self, spark: SparkSession) -> None:
+        """Write buffered (deferred-mode) metric rows as one table."""
+        if not self._pending_metrics:
+            return
+        df = spark.createDataFrame(
+            self._pending_metrics,
+            ["run_id", "stage", "metric", "value", "logged_at"],
+        )
+        self.catalog.write(df, f"{T_METRICS}/{self.run_id}_all", num_files=1)
+        self._pending_metrics = []
 
     # --- stages ------------------------------------------------------------
 
@@ -283,6 +311,10 @@ class DedupPipeline:
                 runners[stage](spark)
             else:
                 raise ValueError(f"unknown stage {stage}")
+        # deferred metrics flush once, when the final stage has run (a
+        # stage-at-a-time driver flushes on its last run() call)
+        if self.metrics_mode == "deferred" and "cluster" in stages:
+            self.flush_metrics(spark)
         if self.catalog.exists(T_CLUSTERS):
             return self.catalog.read(spark, T_CLUSTERS)
         return None

@@ -89,6 +89,20 @@ def _segment_gather(
     return arr[idx], seg_of
 
 
+def _sort_segments(vals: np.ndarray, counts: np.ndarray) -> None:
+    """Sort each contiguous segment of ``vals`` in place. The segments
+    (one per doc, a few hundred elements) are L1/L2-resident, so this
+    loop of one C sort per doc both beats a global
+    ``lexsort((vals, doc_of))`` AND streams far less DRAM — the kernel
+    is bandwidth-bound, and memory traffic is what limits multi-core
+    scaling on one box."""
+    pos = 0
+    for c in counts:
+        if c > 1:
+            vals[pos : pos + c].sort()
+        pos += c
+
+
 def _dedupe_sorted(
     vals: np.ndarray, docs: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -164,8 +178,8 @@ def batch_signatures(
     grams_k = H.windows_from_prefix(prefix, k, sh_cfg.seed)
     cnt_k = np.maximum(lens - k + 1, 0)
     vals, doc_of = _segment_gather(grams_k, off, cnt_k)
-    order = np.lexsort((vals, doc_of))
-    uvals, udocs = _dedupe_sorted(vals[order], doc_of[order])
+    _sort_segments(vals, cnt_k)
+    uvals, udocs = _dedupe_sorted(vals, doc_of)
     n_sh = np.bincount(udocs, minlength=n).astype(np.int64)
 
     # stored int32 form: top 32 bits, re-deduped (order stays the
@@ -245,8 +259,8 @@ def batch_signatures(
         t_ends = np.flatnonzero(nonsep & next_sep) + 1
         tok_doc = np.searchsorted(off, t_starts, side="right") - 1
         th = H.span_hashes(prefix, t_starts, t_ends, sim_seed)
-        torder = np.lexsort((th, tok_doc))
-        tv, td = _dedupe_sorted(th[torder], tok_doc[torder])
+        _sort_segments(th, np.bincount(tok_doc, minlength=n))
+        tv, td = _dedupe_sorted(th, tok_doc)
         tok_cnt = np.bincount(td, minlength=n).astype(np.int64)
         tnz = tok_cnt > 0
         if len(tv):
@@ -292,8 +306,11 @@ def batch_signatures(
             sel = small[nzg]
             avals = np.concatenate([avals, seg_mins[sel]])
             adocs = np.concatenate([adocs, np.flatnonzero(nzg)[sel]])
-        aorder = np.lexsort((avals, adocs))
-        ua, ud = _dedupe_sorted(avals[aorder], adocs[aorder])
+            aorder = np.lexsort((avals, adocs))
+            avals, adocs = avals[aorder], adocs[aorder]
+        else:
+            _sort_segments(avals, w_cnt)
+        ua, ud = _dedupe_sorted(avals, adocs)
         a_cnt = np.bincount(ud, minlength=n)
         anchors = _split_to_lists(ua.astype(np.int64), a_cnt)
     else:

@@ -7,13 +7,16 @@ generator and fail the Jaccard threshold get the substring ladder:
 
 1. full containment (one normalized doc embedded in the other) —
    native ``instr``, zero Python;
-2. otherwise, the suffix-array longest-common-substring verify
-   (functions/suffix.py, Arrow-batched pandas UDF): a pair is a
-   substring duplicate when LCS >= ``cfg.substring.min_overlap`` bytes,
-   covering partial overlaps where NEITHER doc contains the other —
-   the winnowing anchor generator guarantees any pair sharing
-   ``window + gram - 1`` bytes reaches this stage, so the rule's
-   candidate recall is exact.
+2. otherwise, the longest-common-substring rule: a pair is a substring
+   duplicate when LCS >= ``cfg.substring.min_overlap`` bytes, covering
+   partial overlaps where NEITHER doc contains the other. The
+   distributed path decides the predicate via rolling-hash k-gram
+   intersection (functions/suffix.py:shares_min_overlap, Arrow-batched,
+   ~100 us/pair); the exact suffix-array LCS (same module) is the
+   oracle-side reference, so the two methods cross-check on every
+   fixture run. The winnowing anchor generator guarantees any pair
+   sharing ``window + gram - 1`` bytes reaches this stage, so the
+   rule's candidate recall is exact.
 
 Scale notes: the two shingle-set joins are the big shuffles of the
 pipeline; they join the (much smaller) pair table against the signature
@@ -45,29 +48,39 @@ def union_candidates(*pair_dfs: DataFrame) -> DataFrame:
     )
 
 
-_LCS_UDF = None
+_OVERLAP_UDFS: dict[int, object] = {}
 
 
-def _lcs_udf(a, b):
-    """Arrow-batched suffix-array LCS column (lazy — pandas_udf creation
-    needs an active SparkContext)."""
-    global _LCS_UDF
-    if _LCS_UDF is None:
+def _overlap_udf(a, b, min_overlap: int):
+    """Arrow-batched column deciding LCS(a, b) >= min_overlap via
+    rolling-hash k-gram intersection (functions/suffix.py:
+    shares_min_overlap — the exact suffix-array LCS is the oracle-side
+    reference). Lazy per-threshold cache: pandas_udf creation needs an
+    active SparkContext."""
+    udf = _OVERLAP_UDFS.get(min_overlap)
+    if udf is None:
 
-        @pandas_udf(T.LongType())
+        @pandas_udf(T.BooleanType())
         def _udf(na: pd.Series, nb: pd.Series) -> pd.Series:
-            from comparador_de_registros_spark.functions.suffix import lcs_len
+            from comparador_de_registros_spark.functions.suffix import (
+                shares_min_overlap,
+            )
 
             return pd.Series(
                 [
-                    lcs_len((x or "").encode("utf-8"), (y or "").encode("utf-8"))
+                    shares_min_overlap(
+                        (x or "").encode("utf-8"),
+                        (y or "").encode("utf-8"),
+                        min_overlap,
+                    )
                     for x, y in zip(na, nb)
                 ],
-                dtype="int64",
+                dtype="bool",
             )
 
-        _LCS_UDF = _udf
-    return _LCS_UDF(a, b)
+        _OVERLAP_UDFS[min_overlap] = _udf
+        udf = _udf
+    return udf(a, b)
 
 
 def verify_pairs(
@@ -120,7 +133,7 @@ def verify_pairs(
                     F.instr(F.col("norm_b"), F.col("norm_a")) > 0,
                 ).otherwise(F.instr(F.col("norm_a"), F.col("norm_b")) > 0),
             )
-            # suffix-array LCS only where containment already failed;
+            # overlap decision only where containment already failed;
             # byte-length pre-filter: LCS >= min_overlap needs both docs
             # that long (native, prunes the UDF input further)
             .withColumn(
@@ -128,9 +141,10 @@ def verify_pairs(
                 F.when(F.col("contained"), F.lit(False)).otherwise(
                     (F.length("norm_a") >= cfg.substring.min_overlap)
                     & (F.length("norm_b") >= cfg.substring.min_overlap)
-                    & (
-                        _lcs_udf(F.col("norm_a"), F.col("norm_b"))
-                        >= cfg.substring.min_overlap
+                    & _overlap_udf(
+                        F.col("norm_a"),
+                        F.col("norm_b"),
+                        cfg.substring.min_overlap,
                     )
                 ),
             )

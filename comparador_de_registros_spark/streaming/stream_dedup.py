@@ -1,0 +1,152 @@
+"""Structured Streaming dedup: readStream turns -> closed conversations
+-> incremental near-dup detection, via the canonical Spark pattern
+(watermarked session assembly + ``foreachBatch`` over the batch
+operators).
+
+* :func:`assemble_sessionized` — the streaming analogue of
+  operators/assembly.py: a conversation is CLOSED when no turn arrives
+  for ``gap`` (event time); ``session_window`` + watermark emit it
+  exactly once in append mode, with the same stable-turn_idx ordering
+  (per-turn text equality invariant). Late turns beyond the watermark
+  are dropped by Spark's state eviction — the documented trade against
+  unbounded state at 10^12-turn scale.
+* :class:`StreamingDedup` — ``foreachBatch`` incremental dedup: each
+  micro-batch of closed conversations is signed (the same vectorized
+  kernel), banded against the ACCUMULATED signature store
+  (delta x corpus join, shuffle proportional to the batch —
+  streaming/incremental.py), verified (Jaccard / containment / LCS),
+  and appended to the verified-pairs and signature tables. State lives
+  in parquet tables + the streaming checkpoint, so the query restarts
+  exactly-once per batch id.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from comparador_de_registros_spark.operators.assembly import normalize_doc_col
+from comparador_de_registros_spark.operators.signatures import (
+    SIGNATURE_SCHEMA,
+    compute_signatures,
+)
+from comparador_de_registros_spark.operators.verify import (
+    union_candidates,
+    verify_pairs,
+)
+from comparador_de_registros_spark.plans.configs import DedupConfig
+from comparador_de_registros_spark.streaming.incremental import (
+    incremental_candidates,
+)
+
+TURN_SEPARATOR = "\n"
+
+
+def assemble_sessionized(
+    turns_stream: DataFrame,
+    gap: str = "30 minutes",
+    sep: str = TURN_SEPARATOR,
+) -> DataFrame:
+    """Streaming turns -> closed conversations.
+
+    -> (conv_id, doc, n_turns, session_start, session_end), emitted in
+    append mode once the event-time watermark passes session end + gap.
+    """
+    assembled = (
+        turns_stream.withWatermark("ts", gap)
+        .groupBy("conv_id", F.session_window("ts", gap).alias("session"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("turn_idx", "text"))
+            ).alias("turns_sorted"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+    )
+    return assembled.select(
+        "conv_id",
+        F.array_join(F.transform("turns_sorted", lambda t: t["text"]), sep).alias(
+            "doc"
+        ),
+        "n_turns",
+        F.col("session.start").alias("session_start"),
+        F.col("session.end").alias("session_end"),
+    )
+
+
+@dataclass
+class StreamingDedup:
+    """foreachBatch sink: incremental dedup against parquet state dirs.
+
+    ``workdir`` accumulates three tables across micro-batches:
+    ``docs_norm`` (conv_id, norm), ``signatures`` (SIGNATURE_SCHEMA),
+    ``verified`` (a, b, jaccard, contained, overlap, is_dup, sources,
+    batch_id). Deterministic given the input stream partitioning;
+    re-delivered batch ids (restart replay) must be idempotent at the
+    reader via the batch_id column."""
+
+    workdir: str
+    cfg: DedupConfig
+
+    def _path(self, name: str) -> str:
+        return f"{self.workdir}/{name}"
+
+    def _read_or_empty(
+        self, spark: SparkSession, name: str, schema
+    ) -> DataFrame:
+        try:
+            return spark.read.parquet(self._path(name))
+        except Exception:
+            return spark.createDataFrame([], schema)
+
+    def process_batch(self, docs: DataFrame, batch_id: int) -> None:
+        spark = docs.sparkSession
+        new = docs.select(
+            "conv_id", "doc", normalize_doc_col(F.col("doc")).alias("norm")
+        ).persist()
+        try:
+            if new.isEmpty():
+                return
+            sigs_new = compute_signatures(new, self.cfg).persist()
+            corpus_sigs = self._read_or_empty(
+                spark, "signatures", SIGNATURE_SCHEMA
+            )
+            cand = union_candidates(
+                incremental_candidates(sigs_new, corpus_sigs, self.cfg.lsh)
+            )
+            all_sigs = corpus_sigs.unionByName(sigs_new)
+            all_norms = self._read_or_empty(
+                spark, "docs_norm", "conv_id string, norm string"
+            ).unionByName(new.select("conv_id", "norm"))
+            verified = verify_pairs(cand, all_sigs, all_norms, self.cfg)
+            (
+                verified.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(self._path("verified"))
+            )
+            sigs_new.write.mode("append").parquet(self._path("signatures"))
+            new.select("conv_id", "norm").write.mode("append").parquet(
+                self._path("docs_norm")
+            )
+            sigs_new.unpersist()
+        finally:
+            new.unpersist()
+
+    def start(
+        self,
+        turns_stream: DataFrame,
+        checkpoint_dir: str,
+        gap: str = "30 minutes",
+        trigger_available_now: bool = True,
+    ):
+        """Wire the full streaming query; returns the StreamingQuery."""
+        docs = assemble_sessionized(turns_stream, gap)
+        writer = (
+            docs.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.process_batch)
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

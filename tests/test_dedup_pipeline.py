@@ -287,3 +287,24 @@ def test_lcs_len_matches_brute_force():
         )
     for a, b in cases:
         assert lcs_len(a, b) == brute(a, b), (a, b)
+
+
+def test_shares_min_overlap_agrees_with_lcs():
+    """The distributed overlap DECISION (rolling-hash k-gram
+    intersection) must agree with the exact suffix-array LCS on random
+    and adversarial strings."""
+    import numpy as np
+
+    from comparador_de_registros_spark.functions.suffix import (
+        lcs_len,
+        shares_min_overlap,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(300):
+        n1, n2, k = int(rng.integers(0, 60)), int(rng.integers(0, 60)), int(
+            rng.integers(1, 12)
+        )
+        a = bytes(rng.integers(97, 100, n1).astype(np.uint8))
+        b = bytes(rng.integers(97, 100, n2).astype(np.uint8))
+        assert shares_min_overlap(a, b, k) == (lcs_len(a, b) >= k), (a, b, k)
