@@ -13,15 +13,15 @@ Scale notes:
 * ``localCheckpoint`` truncates lineage every round so the plan does
   not grow exponentially with iterations (reference-free requirement,
   SURVEY.md §4 item 3);
-* convergence check = count + xor-ish checksum of the edge set (one
-  lightweight agg per round);
+* convergence check = count + checksum of the edge set, observed
+  DURING the round's checkpoint job (zero extra actions per round);
 * node ids are conv_id strings under lexicographic order; a dictionary
   encoding to longs is a further optimization at 10^12 scale.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -70,12 +70,14 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
-    row = edges.agg(
-        F.count("*").alias("n"),
+def _fingerprint_cols() -> list:
+    """Edge-set fingerprint (count + order-independent hash sum), as
+    observe() columns so the convergence check piggybacks on the
+    round's localCheckpoint job — zero extra actions per round."""
+    return [
+        F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum(F.hash("u", "v").cast("long")), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return row["n"], row["h"]
+    ]
 
 
 def connected_components(
@@ -87,14 +89,42 @@ def connected_components(
     """-> (conv_id, cluster_id): every node in the edge set labeled with
     its component's minimum node id. Nodes absent from ``edges`` are
     absent here — the pipeline unions singletons back explicitly."""
-    cur = _canonical_edges(edges, a, b).localCheckpoint()
-    prev_fp = None
-    for _ in range(max_iter):
-        cur = _small_star(_large_star(cur)).localCheckpoint()
-        fp = _edge_fingerprint(cur)
-        if fp == prev_fp:
-            break
-        prev_fp = fp
+    spark = edges.sparkSession
+    obs0 = Observation()
+    cur = (
+        _canonical_edges(edges, a, b)
+        .observe(obs0, *_fingerprint_cols())
+        .localCheckpoint()
+    )
+    n_edges = int(obs0.get["n"] or 0)
+    # Right-size the iteration's shuffles to the GRAPH, not the corpus:
+    # the dup-pair edge set is orders of magnitude smaller than the
+    # document table, and each round is 6 shuffles — at the session's
+    # corpus-sized partition count that is thousands of near-empty
+    # tasks whose scheduling overhead dominates the stage (profiled:
+    # ~1.9k tasks, the worst-scaling stage of the pipeline). ~50k edges
+    # per reduce task keeps partitions small enough for memory and
+    # large enough to amortize task dispatch; restored afterwards.
+    sp_key = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(sp_key)
+    p = max(1, min(int(orig), (n_edges + 49_999) // 50_000))
+    spark.conf.set(sp_key, str(p))
+    try:
+        prev_fp = None
+        for _ in range(max_iter):
+            obs = Observation()
+            cur = (
+                _small_star(_large_star(cur))
+                .observe(obs, *_fingerprint_cols())
+                .localCheckpoint()
+            )
+            got = obs.get
+            fp = (got["n"], got["h"])
+            if fp == prev_fp:
+                break
+            prev_fp = fp
+    finally:
+        spark.conf.set(sp_key, orig)
     # converged: every edge points node -> component root
     members = cur.select(F.col("u").alias("conv_id"), F.col("v").alias("cluster_id"))
     roots = cur.select(F.col("v").alias("conv_id")).distinct().withColumn(

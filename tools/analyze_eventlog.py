@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Idle/straggler analysis of a Spark event log against the dedup
+pipeline's stage windows (bench_scaling.py RESULT line `stage_win`).
+
+For each pipeline stage: wall seconds, summed executor task seconds,
+busy fraction (task-sec / (wall * total cores)), task count, and the
+longest single task. Busy fraction << 1 at the larger cluster size
+localizes the scaling loss (scheduler idle, stragglers, barrier tails);
+busy ~1 but more task-seconds at 4N means extra work (shuffle, GC).
+
+Usage: analyze_eventlog.py EVENTLOG_FILE STAGE_WIN_JSON N_CORES
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    path, win_json, n_cores = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    wins = json.loads(win_json)
+    tasks = []  # (launch_s, finish_s, run_ms, gc_ms, fetch_ms, ser_ms)
+    with open(path) as fh:
+        for line in fh:
+            if '"SparkListenerTaskEnd"' not in line:
+                continue
+            ev = json.loads(line)
+            info = ev.get("Task Info") or {}
+            met = ev.get("Task Metrics") or {}
+            sr = met.get("Shuffle Read Metrics") or {}
+            tasks.append(
+                (
+                    info.get("Launch Time", 0) / 1e3,
+                    info.get("Finish Time", 0) / 1e3,
+                    met.get("Executor Run Time", 0),
+                    met.get("JVM GC Time", 0),
+                    sr.get("Fetch Wait Time", 0),
+                    met.get("Executor Deserialize Time", 0)
+                    + met.get("Result Serialization Time", 0),
+                )
+            )
+    print(
+        f"{'stage':12} {'wall_s':>7} {'task_s':>8} {'busy%':>6} "
+        f"{'ntask':>6} {'max_task_s':>10} {'gc_s':>6} {'fetch_s':>8} {'ser_s':>6}"
+    )
+    for st, (t0, t1) in wins.items():
+        wall = t1 - t0
+        inwin = [t for t in tasks if t[0] >= t0 and t[1] <= t1 + 1.0]
+        task_s = sum((t[1] - t[0]) for t in inwin)
+        busy = task_s / (wall * n_cores) * 100 if wall > 0 else 0
+        mx = max(((t[1] - t[0]) for t in inwin), default=0.0)
+        gc = sum(t[3] for t in inwin) / 1e3
+        fetch = sum(t[4] for t in inwin) / 1e3
+        ser = sum(t[5] for t in inwin) / 1e3
+        print(
+            f"{st:12} {wall:7.1f} {task_s:8.1f} {busy:6.1f} "
+            f"{len(inwin):6d} {mx:10.2f} {gc:6.1f} {fetch:8.1f} {ser:6.1f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
