@@ -60,6 +60,7 @@ BENCH_QUERY_NAMES = [
     "events_assembly",
     "events_minute_stats",
     "cosine_topk",
+    "ivf_topk",
     "embedding_near_pairs",
 ]
 

@@ -34,6 +34,7 @@ from comparador_de_registros_spark.operators.compare import (
 from comparador_de_registros_spark.functions.normalize import padroniza_col
 from comparador_de_registros_spark.operators.similarity import (
     cosine_topk,
+    ivf_topk,
     srp_candidate_pairs,
 )
 from comparador_de_registros_spark.plans.configs import DedupConfig
@@ -1138,6 +1139,27 @@ SELECT query_id, vec_id, rank, cosine FROM ranked WHERE rank <= 5
 """
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN over the embeddings table.
+
+    Gate geometry: ``nprobe == nlist`` probes every cell, which makes
+    IVF provably exact — the driver value-checks it against the SAME
+    DuckDB brute-force oracle as ``cosine_topk`` (different physical
+    plan, identical result). The approximate regime (nprobe < nlist,
+    scan fraction ~nprobe/nlist) is pinned by
+    tests/test_training_ops.py recall gates on clustered vectors."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = ivf_topk(emb, queries, k=5, nlist=8, nprobe=8)
+    return top.select(
+        "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (SRP-LSH bucketed) near-duplicate vectors.
 
@@ -1205,6 +1227,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_customer_counts": q_nation_customer_counts,
     # similarity
     "cosine_topk": q_cosine_topk,
+    "ivf_topk": q_ivf_topk,
     "embedding_near_pairs": q_embedding_near_pairs,
 }
 
@@ -1261,6 +1284,9 @@ ORACLES: dict[str, str] = {
     "part_type_revenue": SQL_PART_TYPE_REVENUE,
     "nation_customer_counts": SQL_NATION_CUSTOMER_COUNTS,
     "cosine_topk": SQL_COSINE_TOPK,
+    # ivf_topk at nprobe == nlist is exact, so the brute-force SQL is
+    # its oracle too (the Spark side takes the IVF cell-join plan)
+    "ivf_topk": SQL_COSINE_TOPK,
     # minhash_dup_pairs / doc_dedup_clusters / embedding_near_pairs:
     # signature-based, not SQL-expressible -> pinned expected-output
     # parquet oracles, attached below when the snapshot exists.

@@ -104,6 +104,61 @@ def test_srp_candidates_find_planted_neighbor(spark):
     assert any((r["a"], r["b"]) == (0, 1) for r in pairs)
 
 
+def _clustered_embeddings(spark, n_clusters=8, per_cluster=40, dim=16, seed=7):
+    """Gaussian clusters on the unit sphere: realistic IVF geometry."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        pts = centers[c][None, :] + 0.15 * rng.standard_normal((per_cluster, dim))
+        for p in pts:
+            rows.append((vid, c, [float(x) for x in p]))
+            vid += 1
+    return spark.createDataFrame(rows, ["vec_id", "cluster", "embedding"])
+
+
+def test_ivf_full_probe_matches_brute_force(spark):
+    """nprobe == nlist probes every cell -> IVF must equal the exact
+    brute-force ranking row-for-row (the driver gate's construction)."""
+    from comparador_de_registros_spark.operators.similarity import ivf_topk
+
+    emb = _clustered_embeddings(spark).select("vec_id", "embedding")
+    queries = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5)
+    ivf = ivf_topk(emb, queries, k=5, nlist=6, nprobe=6)
+    key = lambda r: (r["query_id"], r["rank"])
+    e = sorted(exact.collect(), key=key)
+    i = sorted(ivf.collect(), key=key)
+    assert [(r["query_id"], r["vec_id"], r["rank"], r["cosine"]) for r in e] == [
+        (r["query_id"], r["vec_id"], r["rank"], r["cosine"]) for r in i
+    ]
+
+
+def test_ivf_partial_probe_recall(spark):
+    """nprobe=2 of nlist=8 scans ~25% of the corpus; on cluster-shaped
+    data recall@5 must stay >= 0.9 (the IVF bet). Also deterministic:
+    the sampled k-means training is fully seeded."""
+    from comparador_de_registros_spark.operators.similarity import ivf_topk
+
+    emb = _clustered_embeddings(spark).select("vec_id", "embedding")
+    queries = emb.where("vec_id % 40 = 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx1 = ivf_topk(emb, queries, k=5, nlist=8, nprobe=2)
+    got1 = {(r["query_id"], r["vec_id"]) for r in approx1.collect()}
+    assert len(got1 & exact) / len(exact) >= 0.9
+    approx2 = ivf_topk(emb, queries, k=5, nlist=8, nprobe=2)
+    assert {(r["query_id"], r["vec_id"]) for r in approx2.collect()} == got1
+
+
 def test_srp_bucket_cap_drops_oversized(spark):
     """Skew guard: identical vectors all land in one bucket; with a cap
     below the bucket size, the pairs must be dropped AND accounted."""
