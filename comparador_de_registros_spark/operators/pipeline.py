@@ -18,7 +18,10 @@ Resume semantics: a stage with an existing ``_SUCCESS``-marked output is
 skipped (``resume=True``), so a killed run restarts at the first
 incomplete stage. Metrics are collected with the Observation API —
 piggybacked on the checkpoint write job itself, zero extra actions —
-and appended to the ``metrics`` table keyed by (run_id, stage).
+and appended to the ``metrics`` table keyed by (run_id, stage); every
+write also records per-PARTITION lineage (one row per output file with
+row/byte counts, answered from parquet footers / the Iceberg ``.files``
+metadata table) into the ``lineage`` table.
 """
 
 from __future__ import annotations
@@ -50,10 +53,14 @@ T_DROPPED = "dropped_buckets"
 T_VERIFIED = "verified"
 T_CLUSTERS = "clusters"
 T_METRICS = "metrics"
+T_LINEAGE = "lineage"
 
 
 def _count_if(cond: Column) -> Column:
     return F.sum(F.when(cond, 1).otherwise(0))
+
+
+_LINEAGE_COLS = ["run_id", "stage", "table", "file", "n_rows", "n_bytes", "logged_at"]
 
 
 @dataclass
@@ -68,6 +75,7 @@ class DedupPipeline:
     # the scaling bench where per-stage crash metrics don't matter.
     metrics_mode: str = "immediate"
     _pending_metrics: list = field(default_factory=list, repr=False)
+    _pending_lineage: list = field(default_factory=list, repr=False)
 
     # --- helpers -------------------------------------------------------------
 
@@ -99,6 +107,7 @@ class DedupPipeline:
         self.catalog.write(df, table, num_files=num_files)
         metrics = {k: float(v if v is not None else 0) for k, v in obs.get.items()}
         self._log_metrics(spark, stage, metrics)
+        self._log_lineage(spark, stage, table)
 
     def _log_metrics(self, spark: SparkSession, stage: str, rows: dict[str, float]):
         data = [
@@ -113,16 +122,40 @@ class DedupPipeline:
         name = f"{T_METRICS}/{self.run_id}_{stage}"
         self.catalog.write(df, name, num_files=1)
 
-    def flush_metrics(self, spark: SparkSession) -> None:
-        """Write buffered (deferred-mode) metric rows as one table."""
-        if not self._pending_metrics:
+    def _log_lineage(self, spark: SparkSession, stage: str, table: str) -> None:
+        """Per-partition lineage: one row per output file with its row
+        and byte counts, answered from table METADATA (parquet footers
+        / the Iceberg .files table) — the checkpoint write is never
+        re-scanned. north_rule: "per-partition lineage + metrics"."""
+        data = [
+            (self.run_id, stage, table, f, int(rows), int(size), time.time())
+            for f, rows, size in self.catalog.partition_lineage(table)
+        ]
+        if self.metrics_mode == "deferred":
+            self._pending_lineage.extend(data)
             return
-        df = spark.createDataFrame(
-            self._pending_metrics,
-            ["run_id", "stage", "metric", "value", "logged_at"],
+        if not data:
+            return
+        df = spark.createDataFrame(data, _LINEAGE_COLS)
+        self.catalog.write(
+            df, f"{T_LINEAGE}/{self.run_id}_{stage}_{table.replace('/', '_')}",
+            num_files=1,
         )
-        self.catalog.write(df, f"{T_METRICS}/{self.run_id}_all", num_files=1)
-        self._pending_metrics = []
+
+    def flush_metrics(self, spark: SparkSession) -> None:
+        """Write buffered (deferred-mode) metric + lineage rows, one
+        table each."""
+        if self._pending_metrics:
+            df = spark.createDataFrame(
+                self._pending_metrics,
+                ["run_id", "stage", "metric", "value", "logged_at"],
+            )
+            self.catalog.write(df, f"{T_METRICS}/{self.run_id}_all", num_files=1)
+            self._pending_metrics = []
+        if self._pending_lineage:
+            df = spark.createDataFrame(self._pending_lineage, _LINEAGE_COLS)
+            self.catalog.write(df, f"{T_LINEAGE}/{self.run_id}_all", num_files=1)
+            self._pending_lineage = []
 
     # --- stages ------------------------------------------------------------
 

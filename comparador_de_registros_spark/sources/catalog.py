@@ -46,6 +46,12 @@ class Catalog:
     def drop(self, name: str) -> None:
         raise NotImplementedError
 
+    def partition_lineage(self, name: str) -> list[tuple[str, int, int]]:
+        """Per-output-partition (file) row/byte counts for ``name`` —
+        the north_rule's per-partition lineage record. Implementations
+        must answer from table metadata, never a data scan."""
+        raise NotImplementedError
+
 
 @dataclass
 class ParquetCatalog(Catalog):
@@ -76,6 +82,27 @@ class ParquetCatalog(Catalog):
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self.path(name), ignore_errors=True)
+
+    def partition_lineage(self, name: str) -> list[tuple[str, int, int]]:
+        """-> [(relative file path, n_rows, n_bytes)] from parquet
+        FOOTERS only (metadata reads, ~ms for a 64-file table)."""
+        import pyarrow.parquet as pq
+
+        root = self.path(name)
+        out = []
+        for dirpath, _dirs, files in sorted(os.walk(root)):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                fp = os.path.join(dirpath, fn)
+                out.append(
+                    (
+                        os.path.relpath(fp, root),
+                        pq.ParquetFile(fp).metadata.num_rows,
+                        os.path.getsize(fp),
+                    )
+                )
+        return out
 
 
 @dataclass
@@ -119,3 +146,21 @@ class IcebergCatalog(Catalog):
 
         spark = SparkSession.getActiveSession()
         spark.sql(f"DROP TABLE IF EXISTS {self._ident(name)}")
+
+    def partition_lineage(
+        self, name: str
+    ) -> list[tuple[str, int, int]]:  # pragma: no cover - needs Iceberg
+        """Iceberg keeps this in its own metadata: the ``.files``
+        table carries (file_path, record_count, file_size_in_bytes)
+        per data file — a metadata-only scan, same contract as the
+        parquet-footer path."""
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        rows = spark.read.table(f"{self._ident(name)}.files").select(
+            "file_path", "record_count", "file_size_in_bytes"
+        ).collect()
+        return [
+            (r["file_path"], int(r["record_count"]), int(r["file_size_in_bytes"]))
+            for r in rows
+        ]

@@ -34,6 +34,37 @@ def pipeline_result(spark, turns, tmp_path_factory):
     return catalog, pipe, clusters
 
 
+def test_pipeline_metrics_and_partition_lineage(spark, pipeline_result):
+    """north_rule: per-partition lineage + metrics. Every stage write
+    must leave (a) an Observation-metrics table and (b) a lineage table
+    with one row per output FILE whose n_rows sum to the table's count
+    — answered from parquet footers, never a rescan."""
+    catalog, pipe, _ = pipeline_result
+    import os
+
+    base = catalog.base_dir
+    metric_runs = os.listdir(os.path.join(base, "metrics"))
+    assert any(s in m for m in metric_runs for s in ("assemble", "cluster"))
+    lineage_runs = sorted(os.listdir(os.path.join(base, "lineage")))
+    assert any("_sign_" in r or "sign" in r for r in lineage_runs)
+    # spot-check the docs table: lineage rows == files, sum == count
+    docs_lineage = [r for r in lineage_runs if "_assemble_docs" in r]
+    assert docs_lineage
+    lin = spark.read.parquet(
+        os.path.join(base, "lineage", docs_lineage[0])
+    ).collect()
+    n_files = len(
+        [
+            f
+            for f in os.listdir(os.path.join(base, "docs"))
+            if f.endswith(".parquet")
+        ]
+    )
+    assert len(lin) == n_files
+    assert sum(r["n_rows"] for r in lin) == catalog.read(spark, "docs").count()
+    assert all(r["n_bytes"] > 0 and r["table"] == "docs" for r in lin)
+
+
 def test_generator_deterministic(spark):
     a = tg.generate_transcripts(spark, SPEC)
     b = tg.generate_transcripts(spark, SPEC)
