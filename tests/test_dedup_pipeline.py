@@ -84,6 +84,19 @@ def test_assembly_stable_order(spark):
     assert docs["c2"] == "solo"
 
 
+def test_connected_components_long_ids(spark):
+    """Id-type agnosticism (docs/TUNING.md: dictionary-encode conv_ids
+    to int64 at 10^12 scale): CC must behave identically over longs."""
+    edges = spark.createDataFrame(
+        [(10, 2), (2, 30), (100, 200)], "a long, b long"
+    )
+    comp = {
+        r["conv_id"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert comp == {2: 2, 10: 2, 30: 2, 100: 100, 200: 100}
+
+
 def test_connected_components_basic(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p")], ["a", "b"]
