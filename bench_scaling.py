@@ -313,7 +313,11 @@ Residual differences vs a true multi-machine cluster: shuffle and
 parquet I/O ride loopback + one shared page cache instead of a network
 and per-node disks (favors neither size systematically), and all
 executors share one memory bus — at 4N that UNDERSTATES scaling if
-the machine's bandwidth saturates.
+the machine's bandwidth saturates (measured microbenchmarks: per-core
+ALU throughput -14%, DRAM-streaming -71% at 8 concurrently busy cores
+— the bus saturates near 4-5 busy cores, hence single-core executors
+for the gate pair). On a real cluster bandwidth-per-core is constant
+across executor counts.
 """
         )
     print(
