@@ -25,13 +25,22 @@ def assemble_conversations(
     turns: DataFrame,
     sep: str = TURN_SEPARATOR,
     include_role: bool = False,
+    max_turns: int | None = None,
 ) -> DataFrame:
-    """-> (conv_id, doc, n_turns, n_chars)
+    """-> (conv_id, doc, n_turns, n_chars[, truncated])
 
     ``doc`` is the turn texts joined in turn_idx order. With
     ``include_role`` each turn is rendered ``role: text`` (useful for
     role-sensitive matching; default off to preserve raw per-turn text
-    equality)."""
+    equality).
+
+    ``max_turns`` is the assemble-shuffle skew guard: a pathological
+    mega-conversation (crawler loop, runaway agent) otherwise lands its
+    entire turn set in ONE aggregation task. With a cap, the document
+    keeps only the first ``max_turns`` turns in turn_idx order and the
+    row is flagged ``truncated`` — surfaced, never silent, matching the
+    dropped-bucket accounting shape of the LSH stage. ``n_turns`` stays
+    the TRUE turn count so metrics remain honest."""
     turn_struct = F.struct(
         F.col("turn_idx").alias("turn_idx"),
         (
@@ -44,13 +53,19 @@ def assemble_conversations(
         F.array_sort(F.collect_list(turn_struct)).alias("turns_sorted"),
         F.count(F.lit(1)).alias("n_turns"),
     )
-    return assembled.select(
+    kept = (
+        F.slice("turns_sorted", 1, max_turns)
+        if max_turns is not None
+        else F.col("turns_sorted")
+    )
+    out = assembled.select(
         "conv_id",
-        F.array_join(F.transform("turns_sorted", lambda t: t["text"]), sep).alias(
-            "doc"
-        ),
+        F.array_join(F.transform(kept, lambda t: t["text"]), sep).alias("doc"),
         "n_turns",
     ).withColumn("n_chars", F.length("doc"))
+    if max_turns is not None:
+        out = out.withColumn("truncated", F.col("n_turns") > max_turns)
+    return out
 
 
 def normalize_doc_col(col):

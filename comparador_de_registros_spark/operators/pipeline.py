@@ -160,9 +160,16 @@ class DedupPipeline:
     # --- stages ------------------------------------------------------------
 
     def stage_assemble(self, spark: SparkSession, turns: DataFrame) -> None:
-        docs = assemble_conversations(turns).withColumn(
-            "norm", normalize_doc_col(F.col("doc"))
-        )
+        docs = assemble_conversations(
+            turns, max_turns=self.cfg.max_turns_per_conv
+        ).withColumn("norm", normalize_doc_col(F.col("doc")))
+        metric_cols = {
+            "n_docs": F.count(F.lit(1)),
+            "n_turns": F.sum("n_turns"),
+            "sum_chars": F.sum("n_chars"),
+        }
+        if self.cfg.max_turns_per_conv is not None:
+            metric_cols["n_truncated_convs"] = _count_if(F.col("truncated"))
         # explicit partitioning: spread by conv_id hash for even Arrow
         # batches downstream
         self._write_observed(
@@ -170,11 +177,7 @@ class DedupPipeline:
             docs,
             T_DOCS,
             "assemble",
-            {
-                "n_docs": F.count(F.lit(1)),
-                "n_turns": F.sum("n_turns"),
-                "sum_chars": F.sum("n_chars"),
-            },
+            metric_cols,
             repartition_by="conv_id",
         )
 

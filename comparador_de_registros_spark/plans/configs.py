@@ -113,6 +113,12 @@ class DedupConfig:
     jaccard_threshold: float = 0.8
     use_simhash: bool = True
     use_substring: bool = True
+    # assemble-shuffle skew guard: cap turns per conversation (first
+    # max_turns in turn_idx order; truncations are flagged + counted in
+    # the stage metrics, never silent). 10k turns * ~120 B/turn keeps
+    # the worst aggregation task ~MBs; raise for corpora with genuinely
+    # long conversations.
+    max_turns_per_conv: int | None = 10_000
 
     def __post_init__(self) -> None:
         if self.minhash is None:

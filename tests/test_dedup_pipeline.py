@@ -84,6 +84,26 @@ def test_assembly_stable_order(spark):
     assert docs["c2"] == "solo"
 
 
+def test_assembly_max_turns_skew_guard(spark):
+    """Mega-conversation cap: doc keeps the first max_turns turns in
+    order, the row is flagged, and the TRUE turn count is preserved."""
+    rows = [("big", i, "user", f"t{i}", "", None) for i in range(7)] + [
+        ("small", 0, "user", "only", "", None)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {
+        r["conv_id"]: r
+        for r in assemble_conversations(df, max_turns=3).collect()
+    }
+    assert out["big"]["doc"] == "t0\nt1\nt2"
+    assert out["big"]["n_turns"] == 7 and out["big"]["truncated"]
+    assert out["small"]["doc"] == "only" and not out["small"]["truncated"]
+
+
 def test_connected_components_long_ids(spark):
     """Id-type agnosticism (docs/TUNING.md: dictionary-encode conv_ids
     to int64 at 10^12 scale): CC must behave identically over longs."""
