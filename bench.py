@@ -92,7 +92,13 @@ def run_pipeline_bench(spark, n_base: int) -> dict:
     workdir = os.path.join(CACHE, f"pipe_{n_base}_{os.getpid()}")
     shutil.rmtree(workdir, ignore_errors=True)
     catalog = ParquetCatalog(workdir)
-    pipe = DedupPipeline(catalog=catalog, cfg=DedupConfig(), run_id="bench")
+    # deferred: metrics + per-partition lineage buffered and flushed as
+    # one table each at the end (the production shape) instead of a
+    # tiny write job per stage
+    pipe = DedupPipeline(
+        catalog=catalog, cfg=DedupConfig(), run_id="bench",
+        metrics_mode="deferred",
+    )
     t0 = time.time()
     clusters = pipe.run(spark, turns)
     n_clusters = clusters.select("cluster_id").distinct().count()
