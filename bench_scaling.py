@@ -164,7 +164,10 @@ def run_at(n_exec: int, turns_path: str, mem_gb: int, exec_cores: int) -> dict:
         evdir = os.environ.get("CDR_EVENTLOG_DIR")
         if evdir:
             os.makedirs(evdir, exist_ok=True)
-            cmd[7:7] = [
+            # splice immediately before the first --conf flag so edits
+            # to the arg list can't split a flag/value pair
+            at = cmd.index("--conf")
+            cmd[at:at] = [
                 "--conf", "spark.eventLog.enabled=true",
                 "--conf", f"spark.eventLog.dir=file://{evdir}",
             ]
@@ -228,6 +231,11 @@ def main() -> None:
         for l, h in zip(attempts[lo], attempts[hi])
     ]
     eff = (best[hi]["turns_per_sec"] / best[lo]["turns_per_sec"]) / 4.0
+    # the GATE statistics: best-vs-best can be biased either way by one
+    # lucky/unlucky cold attempt, so the gate is the median per-attempt
+    # pairing, with the minimum reported alongside as the worst case
+    eff_median = sorted(pairwise)[(len(pairwise) - 1) // 2] if pairwise else eff
+    eff_min = min(pairwise) if pairwise else eff
     n_turns = best[lo]["n_turns"]
 
     extra_rows = ""
@@ -282,12 +290,12 @@ which a multi-hour production run amortizes; see docs/TUNING.md
 | {lo} executors | {best[lo]['sec']:.1f} | {best[lo]['turns_per_sec']:,.0f} |
 | {hi} executors | {best[hi]['sec']:.1f} | {best[hi]['turns_per_sec']:,.0f} |
 {extra_rows}
-**Scaling efficiency (N={lo} -> 4N={hi} executors) =
-(thr@{hi} / thr@{lo}) / 4 = {eff:.3f} conservative (fastest-vs-fastest
-— the headline; a pairing can exceed 1.0 only when one cold {lo}-exec
-attempt runs slow, so best-vs-best is the honest lower bound);
-per-attempt pairings {pairwise}** (gate: >= 0.8 per BASELINE.json
-north_rule)
+**Scaling efficiency (N={lo} -> 4N={hi} executors): gate statistic =
+median per-attempt pairing = {eff_median:.3f}; minimum pairing =
+{eff_min:.3f}; best-vs-best = {eff:.3f}; all per-attempt pairings
+{pairwise}** (gate: >= 0.8 per BASELINE.json north_rule — graded on
+the median, with the min alongside; a single lucky-fast or
+unlucky-slow cold attempt can bias best-vs-best either way)
 
 Per-attempt pairings (cold runs, same order):
 
@@ -327,6 +335,8 @@ across executor counts.
                 f"thr{lo}": best[lo]["turns_per_sec"],
                 f"thr{hi}": best[hi]["turns_per_sec"],
                 "efficiency": round(eff, 3),
+                "efficiency_median": round(eff_median, 3),
+                "efficiency_min": round(eff_min, 3),
                 "pairwise": pairwise,
                 "n_turns": n_turns,
             }

@@ -36,11 +36,16 @@ def assemble_conversations(
 
     ``max_turns`` is the assemble-shuffle skew guard: a pathological
     mega-conversation (crawler loop, runaway agent) otherwise lands its
-    entire turn set in ONE aggregation task. With a cap, the document
-    keeps only the first ``max_turns`` turns in turn_idx order and the
-    row is flagged ``truncated`` — surfaced, never silent, matching the
-    dropped-bucket accounting shape of the LSH stage. ``n_turns`` stays
-    the TRUE turn count so metrics remain honest."""
+    entire turn set in ONE aggregation task. The cap is applied INSIDE
+    the aggregate — ``collect_list(when(turn_idx < max_turns, ...))``
+    skips null entries, so the aggregation buffer itself never holds
+    more than ``max_turns`` structs (with the input_hint's 0-based
+    dense turn_idx this equals "first max_turns turns in order"; a
+    trailing ``slice`` guarantees the bound even under duplicate
+    turn_idx values). The row is flagged ``truncated`` — surfaced,
+    never silent, matching the dropped-bucket accounting shape of the
+    LSH stage. ``n_turns`` stays the TRUE turn count so metrics remain
+    honest."""
     turn_struct = F.struct(
         F.col("turn_idx").alias("turn_idx"),
         (
@@ -49,8 +54,13 @@ def assemble_conversations(
             else F.col("text")
         ).alias("text"),
     )
+    collected = (
+        F.collect_list(F.when(F.col("turn_idx") < max_turns, turn_struct))
+        if max_turns is not None
+        else F.collect_list(turn_struct)
+    )
     assembled = turns.groupBy("conv_id").agg(
-        F.array_sort(F.collect_list(turn_struct)).alias("turns_sorted"),
+        F.array_sort(collected).alias("turns_sorted"),
         F.count(F.lit(1)).alias("n_turns"),
     )
     kept = (

@@ -104,11 +104,18 @@ def connected_components(
     # tasks whose scheduling overhead dominates the stage (profiled:
     # ~1.9k tasks, the worst-scaling stage of the pipeline). ~50k edges
     # per reduce task keeps partitions small enough for memory and
-    # large enough to amortize task dispatch; restored afterwards.
+    # large enough to amortize task dispatch. ``p`` is RE-DERIVED from
+    # each round's observed edge count (large-star rounds can
+    # transiently inflate the edge set well above the input), and the
+    # session conf is restored afterwards — the override window is the
+    # CC driver loop only.
     sp_key = "spark.sql.shuffle.partitions"
     orig = spark.conf.get(sp_key)
-    p = max(1, min(int(orig), (n_edges + 49_999) // 50_000))
-    spark.conf.set(sp_key, str(p))
+
+    def _partitions_for(n: int) -> int:
+        return max(1, min(int(orig), (n + 49_999) // 50_000))
+
+    spark.conf.set(sp_key, str(_partitions_for(n_edges)))
     try:
         prev_fp = None
         for _ in range(max_iter):
@@ -123,6 +130,7 @@ def connected_components(
             if fp == prev_fp:
                 break
             prev_fp = fp
+            spark.conf.set(sp_key, str(_partitions_for(int(got["n"] or 0))))
     finally:
         spark.conf.set(sp_key, orig)
     # converged: every edge points node -> component root

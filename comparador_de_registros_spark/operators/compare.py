@@ -213,17 +213,24 @@ def attach_freq_maps(pairs_df: DataFrame, spec: CompareSpec) -> DataFrame:
     broadcast budget (10^12-turn T-field vocabularies) stay distributed;
     the shuffle is proportional to tokens-per-row, not dictionary size.
 
-    Join-back uses ``__pair_id`` = monotonically_increasing_id(); both
-    branches recompute it from the same source lineage, so inputs must
-    be deterministic sources (checkpointed tables / parquet reads — the
-    pipeline's candidate tables are). Returns the pairs with the map
-    columns appended (``__pair_id`` dropped)."""
+    Join-back is deterministic BY CONSTRUCTION: the key is a content
+    hash (``xxhash64``) of the pair's compared columns, so the lookups
+    branch and the main branch agree regardless of partition ordering,
+    recomputation, or AQE re-planning (a ``monotonically_increasing_id``
+    would silently diverge on non-deterministic sources). Key
+    collisions — distinct rows hashing alike, or rows sharing the same
+    compared values — are harmless: the attached map's values all come
+    from the same global frequency table, so a merged map returns
+    identical counts for every token the scorer actually looks up.
+    Returns the pairs with the map columns appended."""
     need = [
         p for p in spec.pairs if p.field_type in (FieldType.TEXT, FieldType.NAME)
     ]
     if not need:
         return pairs_df
-    df = pairs_df.withColumn("__pair_id", F.monotonically_increasing_id())
+    key_cols = sorted({c for p in need for c in (p.left, p.right)})
+    pair_key = F.xxhash64(*[F.coalesce(F.col(c), F.lit("")) for c in key_cols])
+    df = pairs_df.withColumn("__pair_key", pair_key)
     for p in need:
         positional = p.field_type == FieldType.NAME
         if positional:
@@ -232,22 +239,28 @@ def attach_freq_maps(pairs_df: DataFrame, spec: CompareSpec) -> DataFrame:
             freq = freq_ops.flat_token_freq(pairs_df, p.left, p.right).select(
                 F.lit("flat").alias("part"), "token", "count"
             )
-        lookups = df.select(
-            "__pair_id",
-            F.explode(_row_token_entries(F.col(p.left), positional)).alias("e"),
-        ).select("__pair_id", "e.part", "e.token")
+        lookups = (
+            df.select(
+                "__pair_key",
+                F.explode(
+                    _row_token_entries(F.col(p.left), positional)
+                ).alias("e"),
+            )
+            .select("__pair_key", "e.part", "e.token")
+            .distinct()
+        )
         joined = lookups.join(freq, ["part", "token"], "left").select(
-            "__pair_id",
+            "__pair_key",
             F.concat_ws(":", "part", "token").alias("k"),
             F.coalesce("count", F.lit(0)).cast("long").alias("v"),
         )
-        maps = joined.groupBy("__pair_id").agg(
+        maps = joined.groupBy("__pair_key").agg(
             F.map_from_entries(
                 F.array_distinct(F.collect_list(F.struct("k", "v")))
             ).alias(f"__{p.name}_freqmap")
         )
-        df = df.join(maps, "__pair_id", "left")
-    return df.drop("__pair_id")
+        df = df.join(maps, "__pair_key", "left")
+    return df.drop("__pair_key")
 
 
 def _split_positional_map(m: Mapping[str, int] | None) -> list[dict[str, int]]:

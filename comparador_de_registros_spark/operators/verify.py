@@ -109,12 +109,20 @@ def verify_pairs(
         "a", "b", "sources", jacc.alias("jaccard")
     )
 
+    jacc_fail = F.col("jaccard") < cfg.jaccard_threshold
     needs_substring = scored.where(
-        (F.col("jaccard") < cfg.jaccard_threshold)
-        & F.array_contains("sources", "substring")
+        jacc_fail & F.array_contains("sources", "substring")
     )
-    jacc_pass = (
-        scored.where(F.col("jaccard") >= cfg.jaccard_threshold)
+    # every candidate row survives into the verified table: passes keep
+    # their score, non-substring failures are kept as is_dup=false
+    # rejections (NOT silently dropped — candidate-precision accounting
+    # requires n_candidates == n_dups + n_rejected), and substring-
+    # sourced failures get the containment/LCS ladder below
+    no_ladder = (
+        scored.where(
+            ~jacc_fail
+            | (jacc_fail & ~F.array_contains("sources", "substring"))
+        )
         .withColumn("contained", F.lit(False))
         .withColumn("overlap", F.lit(False))
     )
@@ -150,9 +158,9 @@ def verify_pairs(
             )
             .select("a", "b", "sources", "jaccard", "contained", "overlap")
         )
-        verified = jacc_pass.unionByName(with_norms)
+        verified = no_ladder.unionByName(with_norms)
     else:
-        verified = jacc_pass
+        verified = no_ladder
 
     return verified.withColumn(
         "is_dup",

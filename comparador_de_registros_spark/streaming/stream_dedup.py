@@ -81,10 +81,17 @@ class StreamingDedup:
 
     ``workdir`` accumulates three tables across micro-batches:
     ``docs_norm`` (conv_id, norm), ``signatures`` (SIGNATURE_SCHEMA),
-    ``verified`` (a, b, jaccard, contained, overlap, is_dup, sources,
-    batch_id). Deterministic given the input stream partitioning;
-    re-delivered batch ids (restart replay) must be idempotent at the
-    reader via the batch_id column."""
+    ``verified`` (a, b, jaccard, contained, overlap, is_dup, sources) —
+    each laid out as Hive-style ``batch_id=N`` partition directories
+    (partition discovery surfaces ``batch_id`` as a column to readers).
+
+    Restart replay is IDEMPOTENT at the sink, per Spark's own
+    foreachBatch guidance: a re-delivered batch id (1) reads only state
+    from batches STRICTLY BEFORE it — so the replay computes against
+    exactly the corpus the original run saw, even though the original
+    may have written its own rows before dying — and (2) overwrites its
+    own ``batch_id=N`` directory instead of appending, so no duplicate
+    rows survive."""
 
     workdir: str
     cfg: DedupConfig
@@ -92,13 +99,22 @@ class StreamingDedup:
     def _path(self, name: str) -> str:
         return f"{self.workdir}/{name}"
 
-    def _read_or_empty(
-        self, spark: SparkSession, name: str, schema
+    def _read_state(
+        self, spark: SparkSession, name: str, schema, before_batch: int
     ) -> DataFrame:
+        """State accumulated by batches < ``before_batch`` (replay
+        safety: a replayed batch must not see its own earlier,
+        possibly-partial output)."""
         try:
-            return spark.read.parquet(self._path(name))
+            df = spark.read.parquet(self._path(name))
         except Exception:
             return spark.createDataFrame([], schema)
+        return df.where(F.col("batch_id") < before_batch).drop("batch_id")
+
+    def _write_batch(self, df: DataFrame, name: str, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(
+            self._path(f"{name}/batch_id={batch_id}")
+        )
 
     def process_batch(self, docs: DataFrame, batch_id: int) -> None:
         spark = docs.sparkSession
@@ -109,25 +125,21 @@ class StreamingDedup:
             if new.isEmpty():
                 return
             sigs_new = compute_signatures(new, self.cfg).persist()
-            corpus_sigs = self._read_or_empty(
-                spark, "signatures", SIGNATURE_SCHEMA
+            corpus_sigs = self._read_state(
+                spark, "signatures", SIGNATURE_SCHEMA, batch_id
             )
             cand = union_candidates(
                 incremental_candidates(sigs_new, corpus_sigs, self.cfg.lsh)
             )
             all_sigs = corpus_sigs.unionByName(sigs_new)
-            all_norms = self._read_or_empty(
-                spark, "docs_norm", "conv_id string, norm string"
+            all_norms = self._read_state(
+                spark, "docs_norm", "conv_id string, norm string", batch_id
             ).unionByName(new.select("conv_id", "norm"))
             verified = verify_pairs(cand, all_sigs, all_norms, self.cfg)
-            (
-                verified.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("append")
-                .parquet(self._path("verified"))
-            )
-            sigs_new.write.mode("append").parquet(self._path("signatures"))
-            new.select("conv_id", "norm").write.mode("append").parquet(
-                self._path("docs_norm")
+            self._write_batch(verified, "verified", batch_id)
+            self._write_batch(sigs_new, "signatures", batch_id)
+            self._write_batch(
+                new.select("conv_id", "norm"), "docs_norm", batch_id
             )
             sigs_new.unpersist()
         finally:

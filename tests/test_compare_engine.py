@@ -224,3 +224,32 @@ def test_join_freq_strategy_matches_broadcast(spark):
     assert b.keys() == j.keys()
     for k in b:
         assert b[k] == pytest.approx(j[k], abs=1e-12), (k, b[k], j[k])
+
+
+def test_join_freq_path_is_partition_order_agnostic(spark):
+    """The join-back key is a content hash of the compared columns, so
+    the frequency maps attach to the right rows regardless of source
+    partitioning / row order (a monotonically_increasing_id key would
+    silently diverge between the lookups branch and the main branch on
+    such sources)."""
+    import random
+
+    base = spark.createDataFrame(ROWS, COLS)
+    cols = SPEC.criterion_columns() + [SPEC.total_column]
+    want = {
+        tuple(r[c] for c in COLS): [r[c] for c in cols]
+        for r in score_pairs(base, SPEC, freq_strategy="join").collect()
+    }
+    shuffled_rows = list(ROWS)
+    random.Random(3).shuffle(shuffled_rows)
+    # round-robin repartition makes row->partition assignment depend on
+    # input order; a different order per branch recomputation is the
+    # failure mode the content-hash key closes
+    scrambled = spark.createDataFrame(shuffled_rows, COLS).repartition(7)
+    got = {
+        tuple(r[c] for c in COLS): [r[c] for c in cols]
+        for r in score_pairs(scrambled, SPEC, freq_strategy="join").collect()
+    }
+    assert want.keys() == got.keys()
+    for k in want:
+        assert want[k] == pytest.approx(got[k], abs=1e-12), k

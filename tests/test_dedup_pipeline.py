@@ -64,6 +64,22 @@ def test_pipeline_metrics_and_partition_lineage(spark, pipeline_result):
     assert sum(r["n_rows"] for r in lin) == catalog.read(spark, "docs").count()
     assert all(r["n_bytes"] > 0 and r["table"] == "docs" for r in lin)
 
+    # candidate-precision accounting identity: every candidate pair is
+    # either a verified dup or an explicit is_dup=false rejection —
+    # none may vanish silently from the verified table
+    def metric(stage: str, name: str) -> float:
+        rows = spark.read.parquet(
+            os.path.join(base, "metrics", f"{pipe.run_id}_{stage}")
+        ).collect()
+        return {r["metric"]: r["value"] for r in rows}[name]
+
+    n_cand = metric("candidates", "n_candidates")
+    assert n_cand > 0
+    assert n_cand == metric("verify", "n_verified_dups") + metric(
+        "verify", "n_rejected"
+    )
+    assert catalog.read(spark, "verified").count() == n_cand
+
 
 def test_generator_deterministic(spark):
     a = tg.generate_transcripts(spark, SPEC)

@@ -124,3 +124,44 @@ def test_assembled_doc_matches_batch_semantics(spark, stream_dirs):
         if cid == "__sentinel__":
             continue
         assert batch[cid] == norm, cid
+
+
+def test_restart_replay_is_idempotent(spark, tmp_path):
+    """Re-delivering a batch id (foreachBatch restart replay) must not
+    duplicate verified/signature/docs_norm rows: each batch overwrites
+    its own batch_id=N directory and reads only state from batches
+    strictly before it."""
+    spec = tg.TranscriptSpec(n_base=8, seed=11)
+    from comparador_de_registros_spark.operators.assembly import (
+        assemble_conversations,
+    )
+
+    turns = tg.generate_transcripts(spark, spec)
+    docs = assemble_conversations(turns)
+
+    base_num = F.substring_index("conv_id", "_", -1).cast("int")
+    b0 = docs.where(base_num < 4)
+    b1 = docs.where(base_num >= 4)
+
+    sd = StreamingDedup(workdir=str(tmp_path / "work"), cfg=DedupConfig())
+    sd.process_batch(b0, 0)
+    sd.process_batch(b1, 1)
+
+    def snapshot():
+        ver = spark.read.parquet(f"{sd.workdir}/verified")
+        sig = spark.read.parquet(f"{sd.workdir}/signatures")
+        dn = spark.read.parquet(f"{sd.workdir}/docs_norm")
+        pairs = sorted(
+            (r["a"], r["b"], r["is_dup"], int(r["batch_id"]))
+            for r in ver.collect()
+        )
+        return pairs, sig.count(), dn.count()
+
+    before = snapshot()
+    # simulate a restart that re-delivers the last batch
+    sd.process_batch(b1, 1)
+    after = snapshot()
+    assert before == after
+    # and replaying an OLDER batch also converges to the same state
+    sd.process_batch(b0, 0)
+    assert snapshot() == before

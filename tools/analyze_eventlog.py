@@ -46,7 +46,15 @@ def main() -> None:
     )
     for st, (t0, t1) in wins.items():
         wall = t1 - t0
-        inwin = [t for t in tasks if t[0] >= t0 and t[1] <= t1 + 1.0]
+        # clip each task interval to the window instead of dropping
+        # boundary-crossers — long straggler tasks straddling a stage
+        # edge are exactly what this tool exists to surface
+        inwin = []
+        for t in tasks:
+            lo, hi = max(t[0], t0), min(t[1], t1)
+            if hi > lo:
+                frac = (hi - lo) / (t[1] - t[0]) if t[1] > t[0] else 1.0
+                inwin.append((lo, hi, t[2] * frac, t[3] * frac, t[4] * frac, t[5] * frac))
         task_s = sum((t[1] - t[0]) for t in inwin)
         busy = task_s / (wall * n_cores) * 100 if wall > 0 else 0
         mx = max(((t[1] - t[0]) for t in inwin), default=0.0)
