@@ -87,8 +87,23 @@ def ensure_bench_transcripts(spark, n_base: int) -> tuple[str, int]:
 
 
 def run_pipeline_bench(spark, n_base: int) -> dict:
+    from pyspark.sql import functions as F
+
     turns_path, n_turns = ensure_bench_transcripts(spark, n_base)
     turns = spark.read.parquet(turns_path)
+    # steady-state measurement (same protocol as bench_scaling.py): one
+    # warmup pass over a ~5% conv-consistent sample first, so the timed
+    # run measures the pipeline rather than JVM JIT + codegen + Python
+    # worker startup (measured: identical back-to-back runs go
+    # 23.0s -> 13.8s -> 11.8s cold-to-warm; a multi-hour production run
+    # amortizes all of that startup)
+    warm_dir = os.path.join(CACHE, f"pipe_warm_{os.getpid()}")
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    DedupPipeline(
+        catalog=ParquetCatalog(warm_dir), cfg=DedupConfig(),
+        run_id="warm", metrics_mode="deferred",
+    ).run(spark, turns.where(F.crc32(F.col("conv_id")) % 20 == 0))
+    shutil.rmtree(warm_dir, ignore_errors=True)
     workdir = os.path.join(CACHE, f"pipe_{n_base}_{os.getpid()}")
     shutil.rmtree(workdir, ignore_errors=True)
     catalog = ParquetCatalog(workdir)

@@ -43,12 +43,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
     mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.select("u", F.least("mn", "u").alias("m"))
+    # no trailing distinct: duplicate edges are harmless to the min
+    # aggregations in the small-star pass that always follows (its
+    # final distinct bounds the round output), and dropping it saves
+    # one full shuffle per iteration
     return (
         sym.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 

@@ -150,16 +150,22 @@ def signature_dup_pairs(
     contained, is_dup, sources) with string ids."""
     cfg = cfg or DedupConfig()
     convs = _docs_as_convs(docs, id_col, text_col)
-    sigs = compute_signatures(convs, cfg)
-    lsh_pairs, _ = lsh_ops.minhash_lsh_candidates(sigs, cfg.lsh)
-    parts = [lsh_pairs]
-    if cfg.use_simhash:
-        parts.append(
-            lsh_ops.simhash_candidates(sigs, cfg.simhash, cfg.lsh.max_bucket_size)[0]
-        )
-    if cfg.use_substring:
-        parts.append(
-            lsh_ops.substring_candidates(sigs, cfg.lsh.max_bucket_size)[0]
-        )
-    cand = union_candidates(*parts)
-    return verify_pairs(cand, sigs, convs, cfg)
+    # the signature table is referenced by every candidate generator AND
+    # both verify-side shingle joins; without a cache the Arrow signing
+    # kernel — the most expensive map here — would run once per
+    # reference. Spread the input first (a single parquet file scans
+    # into 1-3 splits, serializing the kernel), then persist.
+    spark = docs.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if convs.rdd.getNumPartitions() < n_part:
+        convs = convs.repartition(n_part, "conv_id")
+    sigs = compute_signatures(convs, cfg).persist()
+    cand, _, _ = lsh_ops.unified_candidates(
+        sigs,
+        cfg.lsh,
+        cfg.simhash if cfg.use_simhash else None,
+        cfg.use_substring,
+    )
+    out = verify_pairs(cand, sigs, convs, cfg)
+    out._cdr_sigs = sigs
+    return out

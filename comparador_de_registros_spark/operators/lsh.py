@@ -159,7 +159,7 @@ def unified_candidates(
     lsh_cfg: LshConfig,
     sim_cfg: SimHashConfig | None,
     use_substring: bool,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """All three generators through ONE shuffle.
 
     The per-generator implementations above each run their own
@@ -170,7 +170,16 @@ def unified_candidates(
     groups ONCE; the SimHash Hamming post-filter is applied per-pair on
     the carried fingerprints.
 
-    -> (candidates(a, b, sources), dropped(generator, sz))
+    -> (candidates(a, b, sources), dropped(generator, sz), buckets)
+
+    ``buckets`` is the grouped bucket table BOTH outputs project from.
+    The two outputs are separate actions at the caller (two table
+    writes), and their filters push down differently, so WITHOUT help
+    Spark plans the full explode->groupBy shuffle twice — verified:
+    zero ReusedExchange in the physical plan. A caller writing both
+    should ``buckets.persist()`` first and unpersist after (the
+    pipeline does); Spark's cache manager rewrites both projections
+    onto the cached table by plan-fragment equality.
     """
     gens = []
     base = signatures.select(
@@ -219,8 +228,13 @@ def unified_candidates(
         F.collect_list(F.struct("conv_id", "simhash")).alias("members"),
         F.count("*").alias("sz"),
     )
-    ok = sized.where(F.col("sz").between(2, lsh_cfg.max_bucket_size))
-    dropped = sized.where(F.col("sz") > lsh_cfg.max_bucket_size).select(
+    # both outputs only look at multi-member buckets; filtering BEFORE
+    # the persist point keeps the cache ~100x smaller (singleton
+    # buckets are the overwhelming majority of keys on a deduplicated
+    # corpus)
+    multi = sized.where(F.col("sz") >= 2)
+    ok = multi.where(F.col("sz") <= lsh_cfg.max_bucket_size)
+    dropped = multi.where(F.col("sz") > lsh_cfg.max_bucket_size).select(
         F.col("gen").alias("generator"), "sz"
     )
     m = F.array_sort("members")
@@ -246,4 +260,4 @@ def unified_candidates(
         .groupBy("a", "b")
         .agg(F.array_sort(F.collect_set("source")).alias("sources"))
     )
-    return pairs, dropped
+    return pairs, dropped, multi

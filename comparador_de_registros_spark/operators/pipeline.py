@@ -39,7 +39,10 @@ from comparador_de_registros_spark.operators.assembly import (
 )
 from comparador_de_registros_spark.operators.cluster import connected_components
 from comparador_de_registros_spark.operators.signatures import compute_signatures
-from comparador_de_registros_spark.operators.verify import verify_pairs
+from comparador_de_registros_spark.operators.verify import (
+    release_scored,
+    verify_pairs,
+)
 from comparador_de_registros_spark.plans.configs import DedupConfig
 from comparador_de_registros_spark.sources.catalog import Catalog
 
@@ -209,8 +212,19 @@ class DedupPipeline:
             docs["conv_id"] == F.col("rep_id"),
             "left_semi",
         )
+        # The parquet scan packs small files into few input splits
+        # (maxPartitionBytes coalescing), so at small scale the docs
+        # table's 32-file layout can come back as 2-3 partitions and the
+        # Arrow signing kernel — the most CPU-heavy map of the pipeline
+        # — runs nearly serial (profiled: one 12s straggler task doing
+        # the whole corpus). Spread it back out ONLY when the scan is
+        # narrower than the configured parallelism; at production scale
+        # the scan yields >= thousands of splits and no shuffle happens.
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if docs.rdd.getNumPartitions() < n_part:
+            reps = reps.repartition(n_part, "conv_id")
         sigs = compute_signatures(reps, self.cfg)
-        # no repartition here: the docs table is already spread by
+        # no repartition below: the docs table is already spread by
         # conv_id and mapInPandas preserves partitioning — an extra
         # shuffle would move the fattest table of the pipeline twice
         self._write_observed(
@@ -226,12 +240,16 @@ class DedupPipeline:
 
     def stage_candidates(self, spark: SparkSession) -> None:
         sigs = self.catalog.read(spark, T_SIGN)
-        cand, dropped = lsh_ops.unified_candidates(
+        cand, dropped, buckets = lsh_ops.unified_candidates(
             sigs,
             self.cfg.lsh,
             self.cfg.simhash if self.cfg.use_simhash else None,
             self.cfg.use_substring,
         )
+        # the candidates and dropped-buckets writes are two actions over
+        # the same grouped bucket table; persist it so the big
+        # explode->groupBy shuffle runs once, not twice
+        buckets.persist()
         metric_cols = {
             "n_candidates": F.count(F.lit(1)),
             "n_candidates_lsh": _count_if(F.array_contains("sources", "lsh")),
@@ -244,34 +262,40 @@ class DedupPipeline:
             metric_cols["n_candidates_substring"] = _count_if(
                 F.array_contains("sources", "substring")
             )
-        self._write_observed(spark, cand, T_CAND, "candidates", metric_cols)
-        self._write_observed(
-            spark,
-            dropped,
-            T_DROPPED,
-            "candidates_dropped",
-            {
-                "n_dropped_buckets": F.count(F.lit(1)),
-                "n_dropped_members": F.coalesce(F.sum("sz"), F.lit(0)),
-            },
-            num_files=1,
-        )
+        try:
+            self._write_observed(spark, cand, T_CAND, "candidates", metric_cols)
+            self._write_observed(
+                spark,
+                dropped,
+                T_DROPPED,
+                "candidates_dropped",
+                {
+                    "n_dropped_buckets": F.count(F.lit(1)),
+                    "n_dropped_members": F.coalesce(F.sum("sz"), F.lit(0)),
+                },
+                num_files=1,
+            )
+        finally:
+            buckets.unpersist()
 
     def stage_verify(self, spark: SparkSession) -> None:
         cand = self.catalog.read(spark, T_CAND)
         sigs = self.catalog.read(spark, T_SIGN)
         docs = self.catalog.read(spark, T_DOCS)
         verified = verify_pairs(cand, sigs, docs, self.cfg)
-        self._write_observed(
-            spark,
-            verified,
-            T_VERIFIED,
-            "verify",
-            {
-                "n_verified_dups": _count_if(F.col("is_dup")),
-                "n_rejected": _count_if(~F.col("is_dup")),
-            },
-        )
+        try:
+            self._write_observed(
+                spark,
+                verified,
+                T_VERIFIED,
+                "verify",
+                {
+                    "n_verified_dups": _count_if(F.col("is_dup")),
+                    "n_rejected": _count_if(~F.col("is_dup")),
+                },
+            )
+        finally:
+            release_scored(verified)
 
     def stage_cluster(self, spark: SparkSession) -> None:
         verified = self.catalog.read(spark, T_VERIFIED)

@@ -105,9 +105,19 @@ def verify_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jacc = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    # persist the slim scored pair table (a, b, sources, jaccard —
+    # tens of bytes/pair): the pass-through branch and the substring
+    # ladder branch below both project from it, their filters push down
+    # differently, and WITHOUT the cache Spark plans the two fat
+    # shingle-set shuffle joins twice (verified: zero ReusedExchange in
+    # the physical plan). Recomputing those joins is ~2x the biggest
+    # shuffle of the pipeline; caching the pair table is cheap at any
+    # scale. The handle is attached to the result for callers that want
+    # deterministic release (release_scored); otherwise LRU eviction
+    # applies.
     scored = withsets.select(
         "a", "b", "sources", jacc.alias("jaccard")
-    )
+    ).persist()
 
     jacc_fail = F.col("jaccard") < cfg.jaccard_threshold
     needs_substring = scored.where(
@@ -162,9 +172,19 @@ def verify_pairs(
     else:
         verified = no_ladder
 
-    return verified.withColumn(
+    out = verified.withColumn(
         "is_dup",
         (F.col("jaccard") >= cfg.jaccard_threshold)
         | F.col("contained")
         | F.col("overlap"),
     )
+    out._cdr_scored = scored
+    return out
+
+
+def release_scored(verified: DataFrame) -> None:
+    """Unpersist the intermediate scored-pair cache attached by
+    :func:`verify_pairs`, once the caller has materialized its output."""
+    handle = getattr(verified, "_cdr_scored", None)
+    if handle is not None:
+        handle.unpersist()

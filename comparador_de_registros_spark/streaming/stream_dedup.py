@@ -33,6 +33,7 @@ from comparador_de_registros_spark.operators.signatures import (
     compute_signatures,
 )
 from comparador_de_registros_spark.operators.verify import (
+    release_scored,
     union_candidates,
     verify_pairs,
 )
@@ -136,7 +137,10 @@ class StreamingDedup:
                 spark, "docs_norm", "conv_id string, norm string", batch_id
             ).unionByName(new.select("conv_id", "norm"))
             verified = verify_pairs(cand, all_sigs, all_norms, self.cfg)
-            self._write_batch(verified, "verified", batch_id)
+            try:
+                self._write_batch(verified, "verified", batch_id)
+            finally:
+                release_scored(verified)
             self._write_batch(sigs_new, "signatures", batch_id)
             self._write_batch(
                 new.select("conv_id", "norm"), "docs_norm", batch_id
