@@ -591,6 +591,137 @@ FROM p
 """
 
 
+def q_compare_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tipo L (address) comparator gate: structural parse (via / numero /
+    complemento state machine) + 6 weighted component similarities over
+    deterministic pt-BR-style addresses derived from part names
+    (reference: src/comparators/logradouro/comparador.py:17-55).
+    Planted classes cover every branch: identical, abbreviated via
+    ('rua' -> 'r'), different numero, sn<->sn (the 0.5 branch),
+    different complemento, and unrelated via. Not SQL-expressible
+    (tokenizer + state machine + LCS token_set_ratio) -> pinned-snapshot
+    oracle (tools/make_expected.py)."""
+    from comparador_de_registros_spark.operators.compare import score_pairs
+    from comparador_de_registros_spark.plans.spec import (
+        ComparePair,
+        CompareSpec,
+        FieldType,
+    )
+
+    part = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    cls = k % 6
+    via = F.concat(F.lit("rua "), F.lower(F.trim("p_name")))
+    via_abbr = F.concat(F.lit("r "), F.lower(F.trim("p_name")))
+    num = (k % 2000 + 1).cast("string")
+    num_a = F.when(cls == 3, F.lit("sn")).otherwise(num)
+    compl = F.concat(F.lit("apto "), (k % 90 + 1).cast("string"))
+    addr_a = F.concat_ws(" ", via, num_a, compl)
+    addr_b = (
+        F.when(cls == 0, addr_a)
+        .when(cls == 1, F.concat_ws(" ", via_abbr, num, compl))
+        .when(cls == 2, F.concat_ws(" ", via, (k % 2000 + 3).cast("string"), compl))
+        .when(cls == 3, F.concat_ws(" ", via, F.lit("sn"), compl))
+        .when(cls == 4, F.concat_ws(" ", via, num, F.lit("fundos")))
+        .otherwise(F.concat_ws(" ", F.lit("avenida central"), num))
+    )
+    pairs = part.select(
+        k.alias("key"), addr_a.alias("addr_a"), addr_b.alias("addr_b")
+    )
+    spec = CompareSpec(
+        pairs=(ComparePair("addr_a", "addr_b", FieldType.ADDRESS, "addr"),)
+    )
+    scored = score_pairs(pairs, spec)
+    return scored.select(
+        "key", "addr_a", "addr_b", *spec.criterion_columns(),
+        F.col(spec.total_column).alias("nota"),
+    )
+
+
+def q_compare_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tipo M (number) comparator gate: Decimal semantics over RAW
+    un-padronized strings (reference: src/comparators/numeros.py:67-115,
+    dispatch quirk comparaRegistros.py:59-60). Planted classes: equal
+    across locale renderings (pt-BR comma-decimal vs dot), +-1 integer
+    (both-int tolerance 5 + same rounding bucket), ~2% relative delta,
+    far apart, and an unparsable side (all-zero row). Decimal
+    ROUND_HALF_UP bucketing is not portable to DuckDB SQL ->
+    pinned-snapshot oracle."""
+    from comparador_de_registros_spark.operators.compare import score_pairs
+    from comparador_de_registros_spark.plans.spec import (
+        ComparePair,
+        CompareSpec,
+        FieldType,
+    )
+
+    part = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    cls = k % 5
+    price = F.col("p_retailprice").cast("decimal(18,2)")
+    plain = price.cast("string")
+    ptbr = F.regexp_replace(plain, r"\.", ",")
+    ints = (k % 5000 + 10).cast("string")
+    num_a = F.when(cls == 3, ints).otherwise(plain)
+    num_b = (
+        F.when(cls == 0, ptbr)
+        .when(cls == 1, (price + 0.01).cast("decimal(18,2)").cast("string"))
+        .when(cls == 2, (price * 1.02).cast("decimal(18,2)").cast("string"))
+        .when(cls == 3, (k % 5000 + 11).cast("string"))
+        .otherwise(F.when(k % 7 == 0, F.lit("n/a")).otherwise(
+            (price * 7).cast("decimal(18,2)").cast("string")
+        ))
+    )
+    pairs = part.select(
+        k.alias("key"), num_a.alias("num_a"), num_b.alias("num_b")
+    )
+    spec = CompareSpec(
+        pairs=(ComparePair("num_a", "num_b", FieldType.NUMBER, "num"),)
+    )
+    scored = score_pairs(pairs, spec)
+    return scored.select(
+        "key", "num_a", "num_b", *spec.criterion_columns(),
+        F.col(spec.total_column).alias("nota"),
+    )
+
+
+def q_compare_names_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N/T criterion 6 gate (qtd_frag_muito_parec): fragments that
+    differ textually but share a soundex code (reference:
+    src/comparators/nomes.py:72-79; zip-truncated positional
+    comparison). name_b applies phonetic-class-preserving inner
+    substitutions (d->t, m->n — same soundex digit, first letter
+    untouched) so the criterion fires on real rows; covers both the N
+    and T comparators over the same planted pairs. DuckDB has no
+    soundex -> pinned-snapshot oracle."""
+    from comparador_de_registros_spark.operators.compare import score_pairs
+    from comparador_de_registros_spark.plans.spec import (
+        ComparePair,
+        CompareSpec,
+        FieldType,
+    )
+
+    part = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    name_a = F.lower(F.trim("p_name"))
+    name_b = F.regexp_replace(
+        F.regexp_replace(name_a, "(?<=[a-z])d", "t"),
+        "(?<=[a-z])m", "n",
+    )
+    pairs = part.select(
+        k.alias("key"), name_a.alias("name_a"), name_b.alias("name_b")
+    )
+    spec = CompareSpec(
+        pairs=(
+            ComparePair("name_a", "name_b", FieldType.NAME, "nome"),
+            ComparePair("name_a", "name_b", FieldType.TEXT, "txt"),
+        )
+    )
+    scored = score_pairs(pairs, spec)
+    return scored.select(
+        "key", *spec.criterion_columns(), F.col(spec.total_column).alias("nota"),
+    )
+
+
 # --- the full scoring engine, driver-gated ---------------------------------
 
 # SQL-expressible criteria emitted by the engine gate (everything except
@@ -1214,6 +1345,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compare_localities": q_compare_localities,
     "compare_names_basic": q_compare_names_basic,
     "compare_texts_basic": q_compare_texts_basic,
+    "compare_addresses": q_compare_addresses,
+    "compare_numbers": q_compare_numbers,
+    "compare_names_soundex": q_compare_names_soundex,
     "name_freq_positional": q_name_freq_positional,
     "score_pairs_engine": q_score_pairs_engine,
     "events_sessionize": q_events_sessionize,
@@ -1242,6 +1376,11 @@ EXPECTED_ORACLE_QUERIES = (
     "minhash_dup_pairs",
     "doc_dedup_clusters",
     "embedding_near_pairs",
+    # comparator semantics with no DuckDB equivalent (address state
+    # machine + token_set_ratio; Decimal bucket rounding; soundex):
+    "compare_addresses",
+    "compare_numbers",
+    "compare_names_soundex",
 )
 
 _EXPECTED_DIR = os.path.join(
