@@ -354,3 +354,100 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index (centroids side table + cell-partitioned corpus)
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    nlist: int = 16,
+    seed: int = 0x1FF,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int | None = None,
+) -> None:
+    """Train once, persist the index: a ``centroids`` side table
+    (cell, centroid) plus the corpus written ``partitionBy(cell)`` so a
+    probe of ``nprobe`` cells later prunes to nprobe/nlist of the DATA
+    FILES at scan time — the 10^12-scale layout the ivf_topk docstring
+    calls for. Retraining per query (the pre-index behavior) is gone:
+    :func:`ivf_topk_indexed` only reads these two tables."""
+    spark = embeddings.sparkSession
+    centroids = train_ivf_centroids(
+        embeddings, nlist, seed, id_col, vec_col, sample_cap
+    )
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    corpus = embeddings.select(
+        id_col,
+        vec_col,
+        _ivf_cells_udf(centroids, 1)(F.col(vec_col))[0].alias("cell"),
+    )
+    corpus.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/corpus"
+    )
+
+
+def load_ivf_centroids(spark, path: str) -> np.ndarray:
+    """Centroid matrix from the persisted side table (nlist rows —
+    a metadata-sized collect)."""
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF top-k over a PERSISTED index (:func:`build_ivf_index`): no
+    retraining, no corpus-wide cell assignment — the probe-cell set is
+    computed from the (small) query batch and pushed as a partition
+    filter, so the parquet scan reads only the probed cells' files
+    (``PartitionFilters: [cell IN (...)]`` — plan-asserted in tests).
+    Semantics match :func:`ivf_topk` at the same centroids.
+    -> (query_id, vec_id, cosine, rank)."""
+    centroids = load_ivf_centroids(spark, path)
+    probes = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(
+            _ivf_cells_udf(centroids, nprobe)(F.col(vec_col))
+        ).alias("cell"),
+    )
+    # the query batch is the driver-sized side: collect its distinct
+    # probe cells and push them into the corpus scan as a partition
+    # predicate (partition PRUNING, not just a join key)
+    cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    corpus = (
+        spark.read.parquet(f"{path}/corpus")
+        .where(F.col("cell").isin(cells))
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine_col(F.col("__qvec"), F.col(vec_col)), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -217,3 +217,45 @@ def test_incremental_candidates(spark, docs):
     assert any((r["a"], r["b"]) == ("1", "5") for r in cand)
     # delta join never emits corpus-vs-corpus pairs
     assert all("5" in (r["a"], r["b"]) for r in cand)
+
+
+def test_ivf_persisted_index_no_retrain_and_prunes(spark, tmp_path, monkeypatch):
+    """build_ivf_index persists centroids + the cell-partitioned corpus;
+    ivf_topk_indexed (a) never retrains (train_ivf_centroids poisoned
+    after build), (b) matches the in-memory ivf_topk at the same
+    centroids, and (c) pushes the probe-cell set into the corpus scan as
+    a PARTITION filter so only probed cells' files are read."""
+    from comparador_de_registros_spark.operators import similarity as sim
+
+    emb = _clustered_embeddings(spark).select("vec_id", "embedding")
+    queries = emb.where("vec_id % 40 = 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf_index")
+    sim.build_ivf_index(emb, path, nlist=8)
+
+    def _poisoned(*a, **k):  # any retrain after build is a failure
+        raise AssertionError("ivf_topk_indexed must not retrain centroids")
+
+    monkeypatch.setattr(sim, "train_ivf_centroids", _poisoned)
+
+    indexed = sim.ivf_topk_indexed(spark, path, queries, k=5, nprobe=2)
+    got = {(r["query_id"], r["vec_id"], r["rank"]) for r in indexed.collect()}
+    cent = sim.load_ivf_centroids(spark, path)
+    inmem = sim.ivf_topk(
+        emb, queries, k=5, nlist=8, nprobe=2, centroids=cent
+    )
+    want = {(r["query_id"], r["vec_id"], r["rank"]) for r in inmem.collect()}
+    assert got == want
+
+    plan = indexed._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    scan = [
+        b for b in plan.split("\n\n")
+        if "Scan parquet" in b and "corpus" in b
+    ]
+    assert scan and "PartitionFilters" in scan[0]
+    assert "cell IN" in scan[0] or "cell#" in scan[0].split("PartitionFilters")[1].split("]")[0]
