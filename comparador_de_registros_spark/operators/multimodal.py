@@ -81,13 +81,82 @@ def generate_fake_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.range(n).repartition(4).mapInPandas(gen, ASSET_SCHEMA)
 
 
-def _decode_stub(kind: str, payload: bytes, fake: bool) -> np.ndarray:
-    if not fake:
+def _decode_image_real(payload: bytes) -> np.ndarray:
+    """Pillow decode -> normalized grayscale signal. Optional import:
+    raises NotImplementedError when Pillow is absent."""
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - env-dependent
         raise NotImplementedError(
-            f"real {kind} decoding requires a codec library (Pillow/"
-            "torchaudio/PyAV) not present in this environment; run with "
-            "fake=True for the deterministic test decode"
-        )
+            "real image decoding needs the Pillow codec library"
+        ) from e
+    import io
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    arr = np.asarray(img, dtype=np.float32).ravel()
+    return (arr - 127.5) / 127.5
+
+
+def _decode_audio_real(payload: bytes) -> np.ndarray:
+    """PCM WAV decode via the stdlib ``wave`` module — genuinely real
+    (no external codec needed) for 8/16-bit PCM; other containers need
+    torchaudio/ffmpeg and raise."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise NotImplementedError(
+            "audio payload is not PCM WAV; non-WAV containers need a "
+            "codec library (torchaudio/ffmpeg)"
+        ) from e
+    if width == 2:
+        return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if width == 1:
+        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+        return (arr - 128.0) / 128.0
+    raise NotImplementedError(
+        f"unsupported WAV sample width {width} without a codec library"
+    )
+
+
+def _decode_video_real(payload: bytes) -> np.ndarray:
+    """PyAV decode -> per-frame grayscale means. Optional import:
+    raises NotImplementedError when PyAV is absent."""
+    try:
+        import av
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "real video decoding needs the PyAV codec library"
+        ) from e
+    import io
+
+    with av.open(io.BytesIO(payload)) as container:  # pragma: no cover
+        frames = [
+            np.asarray(f.to_ndarray(format="gray"), dtype=np.float32).mean()
+            for f in container.decode(video=0)
+        ]
+    return (np.array(frames, dtype=np.float32) - 127.5) / 127.5  # pragma: no cover
+
+
+_REAL_DECODERS = {
+    "image": _decode_image_real,
+    "audio": _decode_audio_real,
+    "video": _decode_video_real,
+}
+
+
+def _decode_stub(kind: str, payload: bytes, fake: bool) -> np.ndarray:
+    """``fake=True``: deterministic bytes->pseudo-signal (test mode).
+    ``fake=False``: REAL decode behind optional imports — PCM WAV via
+    stdlib ``wave`` (always available), images via Pillow and video via
+    PyAV when installed; a missing codec library raises
+    NotImplementedError naming it."""
+    if not fake:
+        return _REAL_DECODERS[kind](payload)
     # deterministic fake "decode": bytes -> pseudo-signal
     arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
     return (arr - 127.5) / 127.5
