@@ -209,21 +209,34 @@ def main() -> None:
     lo, hi = (int(x) for x in args.pair.split(","))
     assert hi == 4 * lo, "pair must be N,4N"
     turns_path = generate_input(args.n_base)
+    # pre-warm the INPUT's page cache once, before any timed attempt:
+    # disk-cold first reads are a property of the storage, not of the
+    # cluster size, and would otherwise tax whichever size runs first
+    for root, _dirs, files in os.walk(turns_path):
+        for fn in files:
+            with open(os.path.join(root, fn), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
 
     attempts: dict[int, list[dict]] = {}
-    order = [hi, lo]
+    # INTERLEAVED schedule (hi, lo, hi, lo, ...): machine-level noise
+    # (frequency scaling, neighbor load, cache state) drifts over the
+    # ~2 h of a full run; grouping all attempts of one size together
+    # would let that drift masquerade as a size effect, while
+    # interleaving makes temporally-adjacent attempts the natural
+    # pairing for the per-attempt efficiency statistic
+    schedule: list[int] = []
+    for _ in range(args.repeats):
+        schedule += [hi, lo]
     if args.extra_pair:
         xl, xh = (int(x) for x in args.extra_pair.split(","))
         for c in (xl, xh):
-            if c not in order:
-                order.append(c)
-    for n_exec in order:
-        reps = args.repeats if n_exec in (lo, hi) else 1
-        attempts[n_exec] = []
-        for i in range(reps):
-            r = run_at(n_exec, turns_path, args.mem_gb, args.exec_cores)
-            print(json.dumps(r), flush=True)
-            attempts[n_exec].append(r)
+            if c not in (lo, hi):
+                schedule.append(c)
+    for n_exec in schedule:
+        r = run_at(n_exec, turns_path, args.mem_gb, args.exec_cores)
+        print(json.dumps(r), flush=True)
+        attempts.setdefault(n_exec, []).append(r)
 
     best = {k: max(v, key=lambda r: r["turns_per_sec"]) for k, v in attempts.items()}
     pairwise = [
@@ -297,7 +310,9 @@ median per-attempt pairing = {eff_median:.3f}; minimum pairing =
 the median, with the min alongside; a single lucky-fast or
 unlucky-slow cold attempt can bias best-vs-best either way)
 
-Per-attempt pairings (cold runs, same order):
+Per-attempt pairings (cold cluster+app runs, interleaved
+schedule 4N,N,4N,N,... with the input page cache pre-warmed once
+before any attempt — temporally-adjacent attempts pair):
 
 | attempt | {lo}-exec sec | {hi}-exec sec | efficiency |
 |---|---|---|---|

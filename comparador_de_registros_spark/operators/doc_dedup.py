@@ -156,8 +156,8 @@ def signature_dup_pairs(
     # reference. Spread the input first (a single parquet file scans
     # into 1-3 splits, serializing the kernel), then persist.
     spark = docs.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if convs.rdd.getNumPartitions() < n_part:
+    if convs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
         convs = convs.repartition(n_part, "conv_id")
     sigs = compute_signatures(convs, cfg).persist()
     cand, _, _ = lsh_ops.unified_candidates(

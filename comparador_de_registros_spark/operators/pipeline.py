@@ -255,10 +255,15 @@ class DedupPipeline:
         # Arrow signing kernel — the most CPU-heavy map of the pipeline
         # — runs nearly serial (profiled: one 12s straggler task doing
         # the whole corpus). Spread it back out ONLY when the scan is
-        # narrower than the configured parallelism; at production scale
-        # the scan yields >= thousands of splits and no shuffle happens.
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        if docs.rdd.getNumPartitions() < n_part:
+        # narrower than the TOTAL CORE COUNT (defaultParallelism — the
+        # quantity that decides whether the kernel keeps every core
+        # busy; comparing against shuffle partitions would add a
+        # useless full-docs shuffle on clusters whose scan already
+        # exceeds their cores). At production scale the scan yields
+        # >= thousands of splits and no shuffle happens.
+        cores = spark.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < cores:
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
             reps = reps.repartition(n_part, "conv_id")
         sigs = compute_signatures(reps, self.cfg)
         # no repartition below: the docs table is already spread by

@@ -138,12 +138,22 @@ def verify_pairs(
     )
 
     if cfg.use_substring:
+        spark = candidates.sparkSession
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
         d = docs_norm.select("conv_id", "norm")
         with_norms = (
             needs_substring.join(d.withColumnRenamed("conv_id", "a"), "a")
             .withColumnRenamed("norm", "norm_a")
             .join(d.withColumnRenamed("conv_id", "b"), "b")
             .withColumnRenamed("norm", "norm_b")
+            # EXPLICIT spread before the LCS UDF: the residue is small
+            # relative to the corpus, so AQE coalesces the join output
+            # to 1-2 partitions and the per-pair rolling-hash kernel
+            # runs as a SERIAL tail — a fixed cost that hits every
+            # cluster size equally and caps scaling efficiency
+            # (measured: ~20s of the 1->4 executor fixed cost at 10M
+            # turns). An explicit count is AQE-coalescing-exempt.
+            .repartition(n_part, "a", "b")
             .withColumn(
                 "contained",
                 F.when(

@@ -55,6 +55,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--rows", type=int, default=4)
     p.add_argument("--jaccard", type=float, default=0.8)
     p.add_argument("--max-bucket", type=int, default=2000)
+    p.add_argument(
+        "--encode-ids", action="store_true",
+        help="dictionary-encode conv_ids to int64 for the candidates/"
+        "verify/cluster path (recommended at >=10^9-doc scale; output "
+        "clusters table is identical either way)",
+    )
     return p.parse_args(argv)
 
 
@@ -67,6 +73,7 @@ def main(argv: list[str] | None = None) -> None:
             bands=args.bands, rows=args.rows, max_bucket_size=args.max_bucket
         ),
         jaccard_threshold=args.jaccard,
+        encode_ids=args.encode_ids,
     )
     spark = build_spark(app_name=f"cdr-dedup-{args.run_id}")
     catalog = (
