@@ -96,14 +96,18 @@ def run_pipeline_bench(spark, n_base: int) -> dict:
     # run measures the pipeline rather than JVM JIT + codegen + Python
     # worker startup (measured: identical back-to-back runs go
     # 23.0s -> 13.8s -> 11.8s cold-to-warm; a multi-hour production run
-    # amortizes all of that startup)
-    warm_dir = os.path.join(CACHE, f"pipe_warm_{os.getpid()}")
-    shutil.rmtree(warm_dir, ignore_errors=True)
-    DedupPipeline(
-        catalog=ParquetCatalog(warm_dir), cfg=DedupConfig(),
-        run_id="warm", metrics_mode="deferred",
-    ).run(spark, turns.where(F.crc32(F.col("conv_id")) % 20 == 0))
-    shutil.rmtree(warm_dir, ignore_errors=True)
+    # amortizes all of that startup). BENCH_NO_WARMUP=1 restores the
+    # round-2 cold protocol so cross-round numbers can be compared
+    # under an identical measurement (see BENCH/BASELINE.md "Pipeline
+    # bench protocol A/B").
+    if os.environ.get("BENCH_NO_WARMUP") != "1":
+        warm_dir = os.path.join(CACHE, f"pipe_warm_{os.getpid()}")
+        shutil.rmtree(warm_dir, ignore_errors=True)
+        DedupPipeline(
+            catalog=ParquetCatalog(warm_dir), cfg=DedupConfig(),
+            run_id="warm", metrics_mode="deferred",
+        ).run(spark, turns.where(F.crc32(F.col("conv_id")) % 20 == 0))
+        shutil.rmtree(warm_dir, ignore_errors=True)
     workdir = os.path.join(CACHE, f"pipe_{n_base}_{os.getpid()}")
     shutil.rmtree(workdir, ignore_errors=True)
     catalog = ParquetCatalog(workdir)
@@ -159,6 +163,10 @@ def run_dedup_shared(spark, sf_dir: str) -> dict[str, float]:
     print(f"# doc_dedup_clusters(+): {t_clusters:.2f}s ({n_docs} rows)",
           file=sys.stderr, flush=True)
     verified.unpersist()
+    # release the signature + scored-pair caches signature_dup_pairs
+    # holds: leaking them here slowed every subsequent headline query
+    # 15-45% in round 3 (the caches survive for the session otherwise)
+    doc_dedup.release_signature_run(verified)
     return {
         "minhash_dup_pairs": round(t_pairs, 3),
         "doc_dedup_clusters": round(t_clusters, 3),

@@ -48,6 +48,8 @@ from comparador_de_registros_spark.plans.configs import DedupConfig
 from comparador_de_registros_spark.sources.catalog import ParquetCatalog
 
 turns_path, workdir, tag = sys.argv[1], sys.argv[2], sys.argv[3]
+encode_ids = len(sys.argv) > 4 and sys.argv[4] == "1"
+cfg = DedupConfig(encode_ids=encode_ids)
 spark = SparkSession.builder.appName(f"cdr-scale-{tag}").getOrCreate()
 stage_win = {}
 turns = spark.read.parquet(turns_path)
@@ -69,14 +71,14 @@ n_turns = warm["n"]
 # executors on a cold 200 s app, dominated by JIT + first-GC effects).
 warm_sample = turns.where(F.crc32(F.col("conv_id").cast("string")) % 20 == 0)
 warm_pipe = DedupPipeline(
-    catalog=ParquetCatalog(workdir + "_warm"), cfg=DedupConfig(),
+    catalog=ParquetCatalog(workdir + "_warm"), cfg=cfg,
     run_id="warmup", metrics_mode="deferred",
 )
 warm_pipe.run(spark, warm_sample)
 shutil.rmtree(workdir + "_warm", ignore_errors=True)
 shutil.rmtree(workdir, ignore_errors=True)
 pipe = DedupPipeline(
-    catalog=ParquetCatalog(workdir), cfg=DedupConfig(),
+    catalog=ParquetCatalog(workdir), cfg=cfg,
     run_id=f"scale{tag}", metrics_mode="deferred",
 )
 t0 = time.time()
@@ -123,7 +125,13 @@ def _pkg_zip() -> str:
     )
 
 
-def run_at(n_exec: int, turns_path: str, mem_gb: int, exec_cores: int) -> dict:
+def run_at(
+    n_exec: int,
+    turns_path: str,
+    mem_gb: int,
+    exec_cores: int,
+    encode_ids: bool = False,
+) -> dict:
     """One cold cluster + cold app at ``n_exec`` executors of
     ``exec_cores`` pinned cores each."""
     cluster = os.path.join(REPO, "tools", "standalone_cluster.py")
@@ -158,6 +166,7 @@ def run_at(n_exec: int, turns_path: str, mem_gb: int, exec_cores: int) -> dict:
             "--conf", "spark.sql.session.timeZone=UTC",
             "--conf", "spark.ui.enabled=false",
             runner, turns_path, workdir, str(n_exec),
+            "1" if encode_ids else "0",
         ]
         # opt-in profiling: per-task event logs for idle/straggler
         # analysis (tools/analyze_eventlog.py); off for gate runs
@@ -195,6 +204,16 @@ def main() -> None:
         "and the conservative best-vs-best pairing are both reported",
     )
     ap.add_argument("--mem-gb", type=int, default=6)
+    ap.add_argument(
+        "--encode-ids", action="store_true",
+        help="run the pipeline with cfg.encode_ids=True (int64 id "
+        "dictionary for candidates/verify/cluster)",
+    )
+    ap.add_argument(
+        "--tag", default="",
+        help="write the report to BENCH/BASELINE_{tag}.md instead of "
+        "overwriting BENCH/BASELINE.md (keeps prior gate evidence)",
+    )
     ap.add_argument(
         "--exec-cores", type=int, default=1,
         help="cores per executor (each worker pinned to that many "
@@ -234,7 +253,10 @@ def main() -> None:
             if c not in (lo, hi):
                 schedule.append(c)
     for n_exec in schedule:
-        r = run_at(n_exec, turns_path, args.mem_gb, args.exec_cores)
+        r = run_at(
+            n_exec, turns_path, args.mem_gb, args.exec_cores,
+            encode_ids=args.encode_ids,
+        )
         print(json.dumps(r), flush=True)
         attempts.setdefault(n_exec, []).append(r)
 
@@ -277,14 +299,18 @@ def main() -> None:
         for st in best[lo]["stage_sec"]
     )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    report = (
+        f"BASELINE_{args.tag}.md" if args.tag else "BASELINE.md"
+    )
+    with open(os.path.join(REPO, "BENCH", report), "w") as f:
         f.write(
             f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
 Protocol: the full dedup pipeline (assemble -> exact -> sign ->
 candidates -> verify -> cluster; DedupConfig defaults: char-12
 shingles, 128-bucket OPH MinHash as 32x4 LSH bands, SimHash k=3,
-winnowed substring anchors + suffix-array LCS verify, Jaccard >= 0.8)
+winnowed substring anchors + suffix-array LCS verify, Jaccard >= 0.8;
+encode_ids={args.encode_ids})
 submitted with ``spark-submit --py-files`` to a REAL local standalone
 cluster — one master + K worker daemons of {args.exec_cores} core(s) each, every
 worker JVM (and its executor + Python workers) ``taskset``-pinned to

@@ -70,12 +70,26 @@ def assemble_conversations(
     )
     out = assembled.select(
         "conv_id",
-        F.array_join(F.transform(kept, lambda t: t["text"]), sep).alias("doc"),
+        kept.alias("__kept"),
         "n_turns",
+    ).select(
+        "conv_id",
+        F.array_join(
+            F.transform("__kept", lambda t: t["text"]), sep
+        ).alias("doc"),
+        "n_turns",
+        F.size("__kept").alias("__n_kept"),
     ).withColumn("n_chars", F.length("doc"))
     if max_turns is not None:
-        out = out.withColumn("truncated", F.col("n_turns") > max_turns)
-    return out
+        # truncated = ACTUAL loss, not just count > cap: the in-agg
+        # value filter (turn_idx < max_turns) also drops turns whose
+        # index exceeds the cap on sparse / non-0-based turn_idx inputs
+        # even when the conversation has fewer than max_turns turns —
+        # those rows must be flagged too ("surfaced, never silent")
+        out = out.withColumn(
+            "truncated", F.col("n_turns") > F.col("__n_kept")
+        )
+    return out.drop("__n_kept")
 
 
 def normalize_doc_col(col):

@@ -33,8 +33,10 @@ from comparador_de_registros_spark.operators.compare import (
 )
 from comparador_de_registros_spark.functions.normalize import padroniza_col
 from comparador_de_registros_spark.operators.similarity import (
+    build_ivf_index,
     cosine_topk,
     ivf_topk,
+    ivf_topk_indexed,
     srp_candidate_pairs,
 )
 from comparador_de_registros_spark.plans.configs import DedupConfig
@@ -136,11 +138,20 @@ def q_minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = doc_dedup.signature_dup_pairs(
         _read(spark, sf_dir, "documents"), DedupConfig()
     )
-    return verified.where("is_dup").select(
+    out = verified.where("is_dup").select(
         F.col("a").cast("long").alias("a"),
         F.col("b").cast("long").alias("b"),
         "jaccard",
     )
+    # materialize the (tiny) pair table, then release the fat
+    # signature/scored caches signature_dup_pairs holds — otherwise
+    # each gate invocation leaks a session-lifetime cached plan.
+    # localCheckpoint blocks are ContextCleaner-managed (freed on GC),
+    # unlike CacheManager entries which only an explicit unpersist
+    # frees.
+    out = out.localCheckpoint(eager=True)
+    doc_dedup.release_signature_run(verified)
+    return out
 
 
 def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,7 +161,7 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = doc_dedup.signature_dup_pairs(docs, DedupConfig())
     edges = verified.where("is_dup").select("a", "b")
     comp = connected_components(edges)
-    return (
+    out = (
         docs.select(F.col("doc_id").cast("string").alias("conv_id"))
         .join(comp, "conv_id", "left")
         .select(
@@ -158,6 +169,11 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cluster_id", F.col("conv_id")).cast("long").alias("cluster_id"),
         )
     )
+    # materialize (one small row per doc), then release the signature
+    # caches — see q_minhash_dup_pairs for why
+    out = out.localCheckpoint(eager=True)
+    doc_dedup.release_signature_run(verified)
+    return out
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,23 +607,11 @@ FROM p
 """
 
 
-def q_compare_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tipo L (address) comparator gate: structural parse (via / numero /
-    complemento state machine) + 6 weighted component similarities over
-    deterministic pt-BR-style addresses derived from part names
-    (reference: src/comparators/logradouro/comparador.py:17-55).
-    Planted classes cover every branch: identical, abbreviated via
-    ('rua' -> 'r'), different numero, sn<->sn (the 0.5 branch),
-    different complemento, and unrelated via. Not SQL-expressible
-    (tokenizer + state machine + LCS token_set_ratio) -> pinned-snapshot
-    oracle (tools/make_expected.py)."""
-    from comparador_de_registros_spark.operators.compare import score_pairs
-    from comparador_de_registros_spark.plans.spec import (
-        ComparePair,
-        CompareSpec,
-        FieldType,
-    )
-
+def pairs_compare_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input construction for the L gate: deterministic pt-BR-style
+    address pairs derived from part names. Shared by the Spark query
+    AND the independent Python-scored oracle (tools/make_expected.py)
+    — only the INPUTS come from here; the two scorers are disjoint."""
     part = _read(spark, sf_dir, "part")
     k = F.col("p_partkey")
     cls = k % 6
@@ -625,9 +629,30 @@ def q_compare_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(cls == 4, F.concat_ws(" ", via, num, F.lit("fundos")))
         .otherwise(F.concat_ws(" ", F.lit("avenida central"), num))
     )
-    pairs = part.select(
+    return part.select(
         k.alias("key"), addr_a.alias("addr_a"), addr_b.alias("addr_b")
     )
+
+
+def q_compare_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tipo L (address) comparator gate: structural parse (via / numero /
+    complemento state machine) + 6 weighted component similarities over
+    deterministic pt-BR-style addresses derived from part names
+    (reference: src/comparators/logradouro/comparador.py:17-55).
+    Planted classes cover every branch: identical, abbreviated via
+    ('rua' -> 'r'), different numero, sn<->sn (the 0.5 branch),
+    different complemento, and unrelated via. Not SQL-expressible
+    (tokenizer + state machine + LCS token_set_ratio) -> pinned-snapshot
+    oracle generated by the INDEPENDENT pure-Python reference-parity
+    scorer (tools/make_expected.py)."""
+    from comparador_de_registros_spark.operators.compare import score_pairs
+    from comparador_de_registros_spark.plans.spec import (
+        ComparePair,
+        CompareSpec,
+        FieldType,
+    )
+
+    pairs = pairs_compare_addresses(spark, sf_dir)
     spec = CompareSpec(
         pairs=(ComparePair("addr_a", "addr_b", FieldType.ADDRESS, "addr"),)
     )
@@ -638,22 +663,9 @@ def q_compare_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_compare_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tipo M (number) comparator gate: Decimal semantics over RAW
-    un-padronized strings (reference: src/comparators/numeros.py:67-115,
-    dispatch quirk comparaRegistros.py:59-60). Planted classes: equal
-    across locale renderings (pt-BR comma-decimal vs dot), +-1 integer
-    (both-int tolerance 5 + same rounding bucket), ~2% relative delta,
-    far apart, and an unparsable side (all-zero row). Decimal
-    ROUND_HALF_UP bucketing is not portable to DuckDB SQL ->
-    pinned-snapshot oracle."""
-    from comparador_de_registros_spark.operators.compare import score_pairs
-    from comparador_de_registros_spark.plans.spec import (
-        ComparePair,
-        CompareSpec,
-        FieldType,
-    )
-
+def pairs_compare_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input construction for the M gate (see pairs_compare_addresses
+    for the sharing rationale)."""
     part = _read(spark, sf_dir, "part")
     k = F.col("p_partkey")
     cls = k % 5
@@ -671,9 +683,29 @@ def q_compare_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (price * 7).cast("decimal(18,2)").cast("string")
         ))
     )
-    pairs = part.select(
+    return part.select(
         k.alias("key"), num_a.alias("num_a"), num_b.alias("num_b")
     )
+
+
+def q_compare_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tipo M (number) comparator gate: Decimal semantics over RAW
+    un-padronized strings (reference: src/comparators/numeros.py:67-115,
+    dispatch quirk comparaRegistros.py:59-60). Planted classes: equal
+    across locale renderings (pt-BR comma-decimal vs dot), +-1 integer
+    (both-int tolerance 5 + same rounding bucket), ~2% relative delta,
+    far apart, and an unparsable side (all-zero row). Decimal
+    ROUND_HALF_UP bucketing is not portable to DuckDB SQL ->
+    pinned-snapshot oracle generated by the INDEPENDENT pure-Python
+    scorer (tools/make_expected.py)."""
+    from comparador_de_registros_spark.operators.compare import score_pairs
+    from comparador_de_registros_spark.plans.spec import (
+        ComparePair,
+        CompareSpec,
+        FieldType,
+    )
+
+    pairs = pairs_compare_numbers(spark, sf_dir)
     spec = CompareSpec(
         pairs=(ComparePair("num_a", "num_b", FieldType.NUMBER, "num"),)
     )
@@ -681,6 +713,21 @@ def q_compare_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "key", "num_a", "num_b", *spec.criterion_columns(),
         F.col(spec.total_column).alias("nota"),
+    )
+
+
+def pairs_compare_names_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input construction for the N/T soundex gate (see
+    pairs_compare_addresses for the sharing rationale)."""
+    part = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    name_a = F.lower(F.trim("p_name"))
+    name_b = F.regexp_replace(
+        F.regexp_replace(name_a, "(?<=[a-z])d", "t"),
+        "(?<=[a-z])m", "n",
+    )
+    return part.select(
+        k.alias("key"), name_a.alias("name_a"), name_b.alias("name_b")
     )
 
 
@@ -692,7 +739,8 @@ def q_compare_names_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
     substitutions (d->t, m->n — same soundex digit, first letter
     untouched) so the criterion fires on real rows; covers both the N
     and T comparators over the same planted pairs. DuckDB has no
-    soundex -> pinned-snapshot oracle."""
+    soundex -> pinned-snapshot oracle generated by the INDEPENDENT
+    pure-Python scorer (tools/make_expected.py)."""
     from comparador_de_registros_spark.operators.compare import score_pairs
     from comparador_de_registros_spark.plans.spec import (
         ComparePair,
@@ -700,16 +748,7 @@ def q_compare_names_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
         FieldType,
     )
 
-    part = _read(spark, sf_dir, "part")
-    k = F.col("p_partkey")
-    name_a = F.lower(F.trim("p_name"))
-    name_b = F.regexp_replace(
-        F.regexp_replace(name_a, "(?<=[a-z])d", "t"),
-        "(?<=[a-z])m", "n",
-    )
-    pairs = part.select(
-        k.alias("key"), name_a.alias("name_a"), name_b.alias("name_b")
-    )
+    pairs = pairs_compare_names_soundex(spark, sf_dir)
     spec = CompareSpec(
         pairs=(
             ComparePair("name_a", "name_b", FieldType.NAME, "nome"),
@@ -1291,6 +1330,31 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN through the PERSISTED index (build once per sf_dir:
+    centroids side table + cell-partitioned corpus), exercising the
+    production read path — no per-call retraining, probe cells pushed
+    into the scan as a partition filter (pruning plan-asserted in
+    tests/test_training_ops.py). Same exact-at-nprobe==nlist geometry
+    as ``ivf_topk``, so the brute-force DuckDB SQL is its oracle too."""
+    import tempfile
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"cdr_ivf_index_{sf_tag}")
+    if not os.path.exists(os.path.join(path, "corpus", "_SUCCESS")):
+        build_ivf_index(emb, path, nlist=8)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = ivf_topk_indexed(spark, path, queries, k=5, nprobe=8)
+    return top.select(
+        "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (SRP-LSH bucketed) near-duplicate vectors.
 
@@ -1362,6 +1426,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # similarity
     "cosine_topk": q_cosine_topk,
     "ivf_topk": q_ivf_topk,
+    "ivf_topk_indexed": q_ivf_topk_indexed,
     "embedding_near_pairs": q_embedding_near_pairs,
 }
 
@@ -1424,8 +1489,11 @@ ORACLES: dict[str, str] = {
     "nation_customer_counts": SQL_NATION_CUSTOMER_COUNTS,
     "cosine_topk": SQL_COSINE_TOPK,
     # ivf_topk at nprobe == nlist is exact, so the brute-force SQL is
-    # its oracle too (the Spark side takes the IVF cell-join plan)
+    # its oracle too (the Spark side takes the IVF cell-join plan);
+    # ivf_topk_indexed reads the persisted index (partition-pruned
+    # scan) with the same exact geometry
     "ivf_topk": SQL_COSINE_TOPK,
+    "ivf_topk_indexed": SQL_COSINE_TOPK,
     # minhash_dup_pairs / doc_dedup_clusters / embedding_near_pairs:
     # signature-based, not SQL-expressible -> pinned expected-output
     # parquet oracles, attached below when the snapshot exists.

@@ -22,6 +22,7 @@ operators).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -106,10 +107,45 @@ class StreamingDedup:
         """State accumulated by batches < ``before_batch`` (replay
         safety: a replayed batch must not see its own earlier,
         possibly-partial output)."""
-        try:
-            df = spark.read.parquet(self._path(name))
-        except Exception:
-            return spark.createDataFrame([], schema)
+        path = self._path(name)
+        local = "://" not in path or path.startswith("file:")
+        fs_path = path.removeprefix("file://").removeprefix("file:")
+        if local:
+            if not os.path.isdir(fs_path):
+                # first batch: no state yet
+                return spark.createDataFrame([], schema)
+            # pre-round-3 workdirs stored flat parquet files with a
+            # batch_id DATA column (append mode); partition discovery
+            # over a mix of root-level files and batch_id=N dirs fails
+            # or silently ignores data — fail loudly instead of
+            # treating the corpus as empty (silent cross-batch
+            # candidate loss)
+            if any(f.endswith(".parquet") for f in os.listdir(fs_path)):
+                raise RuntimeError(
+                    f"legacy streaming-state layout at {path}: "
+                    "root-level parquet files found where batch_id=N "
+                    "partition directories are expected. Rewrite each "
+                    "distinct batch_id of the old table into its own "
+                    f"{path}/batch_id=N directory (dropping the "
+                    "batch_id column) or start from a fresh workdir."
+                )
+            df = spark.read.parquet(path)
+        else:  # pragma: no cover - remote FS; same contract as local
+            try:
+                df = spark.read.parquet(path)
+            except Exception as e:
+                # ONLY a missing path means "first batch"; any other
+                # failure (mixed legacy layout, permissions, corrupt
+                # footer) must surface, not silently empty the corpus
+                msg = str(e)
+                if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                    return spark.createDataFrame([], schema)
+                raise
+        if "batch_id" not in df.columns:  # pragma: no cover
+            raise RuntimeError(
+                f"streaming-state table at {path} has no batch_id "
+                "partition column; refusing to guess replay semantics"
+            )
         return df.where(F.col("batch_id") < before_batch).drop("batch_id")
 
     def _write_batch(self, df: DataFrame, name: str, batch_id: int) -> None:

@@ -120,6 +120,38 @@ def test_assembly_max_turns_skew_guard(spark):
     assert out["small"]["doc"] == "only" and not out["small"]["truncated"]
 
 
+def test_assembly_max_turns_sparse_idx_flagged(spark):
+    """The in-aggregate cap is a VALUE filter (turn_idx < max_turns), so
+    sparse / non-0-based turn_idx inputs can lose turns even below the
+    cap count — such rows must be flagged truncated (surfaced, never
+    silent), and dense rows under the cap must not be."""
+    rows = [
+        # 2 turns but one idx >= cap: loses t9 -> truncated
+        ("sparse", 0, "user", "t0", "", None),
+        ("sparse", 9, "user", "t9", "", None),
+        # 1-based dense, 3 turns, cap 3: loses idx 3 -> truncated
+        ("onebased", 1, "user", "a", "", None),
+        ("onebased", 2, "user", "b", "", None),
+        ("onebased", 3, "user", "c", "", None),
+        # dense 0-based under the cap: untouched
+        ("dense", 0, "user", "x", "", None),
+        ("dense", 1, "user", "y", "", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {
+        r["conv_id"]: r
+        for r in assemble_conversations(df, max_turns=3).collect()
+    }
+    assert out["sparse"]["doc"] == "t0" and out["sparse"]["truncated"]
+    assert out["sparse"]["n_turns"] == 2
+    assert out["onebased"]["doc"] == "a\nb" and out["onebased"]["truncated"]
+    assert out["dense"]["doc"] == "x\ny" and not out["dense"]["truncated"]
+
+
 def test_connected_components_long_ids(spark):
     """Id-type agnosticism (docs/TUNING.md: dictionary-encode conv_ids
     to int64 at 10^12 scale): CC must behave identically over longs."""

@@ -165,3 +165,23 @@ def test_restart_replay_is_idempotent(spark, tmp_path):
     # and replaying an OLDER batch also converges to the same state
     sd.process_batch(b0, 0)
     assert snapshot() == before
+
+
+def test_legacy_state_layout_fails_loudly(spark, tmp_path):
+    """A pre-round-3 workdir (flat parquet files with a batch_id DATA
+    column at the table root) must raise a migration error on restart —
+    not be silently treated as an empty corpus by partition discovery."""
+    spec = tg.TranscriptSpec(n_base=4, seed=13)
+    from comparador_de_registros_spark.operators.assembly import (
+        assemble_conversations,
+    )
+
+    turns = tg.generate_transcripts(spark, spec)
+    docs = assemble_conversations(turns)
+
+    sd = StreamingDedup(workdir=str(tmp_path / "work"), cfg=DedupConfig())
+    # forge the legacy layout: root-level parquet with batch_id column
+    docs.select("conv_id", F.lit("x").alias("norm"), F.lit(0).alias("batch_id")) \
+        .write.mode("overwrite").parquet(f"{sd.workdir}/signatures")
+    with pytest.raises(RuntimeError, match="legacy streaming-state layout"):
+        sd.process_batch(docs, 1)

@@ -71,6 +71,22 @@ def test_signature_dup_pairs(spark, docs):
     dups = {(r["a"], r["b"]) for r in verified.where("is_dup").collect()}
     assert ("1", "5") in dups
     assert ("3", "4") not in dups
+    doc_dedup.release_signature_run(verified)
+
+
+def test_release_signature_run_frees_all_caches(spark, docs):
+    """signature_dup_pairs holds two session-lifetime caches (fat
+    signature table + slim scored-pair table); release_signature_run
+    must free BOTH — leaked caches measurably slowed every subsequent
+    query in the round-3 bench."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    cm.clearCache()
+    assert cm.isEmpty()
+    verified = doc_dedup.signature_dup_pairs(docs, DedupConfig())
+    verified.where("is_dup").count()
+    assert not cm.isEmpty()  # caches live while results are drawn
+    doc_dedup.release_signature_run(verified)
+    assert cm.isEmpty()
 
 
 def _embeddings(spark, n=40, dim=16, seed=3):

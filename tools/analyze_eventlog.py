@@ -29,6 +29,7 @@ def main() -> None:
             info = ev.get("Task Info") or {}
             met = ev.get("Task Metrics") or {}
             sr = met.get("Shuffle Read Metrics") or {}
+            sw = met.get("Shuffle Write Metrics") or {}
             tasks.append(
                 (
                     info.get("Launch Time", 0) / 1e3,
@@ -38,11 +39,15 @@ def main() -> None:
                     sr.get("Fetch Wait Time", 0),
                     met.get("Executor Deserialize Time", 0)
                     + met.get("Result Serialization Time", 0),
+                    sw.get("Shuffle Bytes Written", 0),
+                    sr.get("Remote Bytes Read", 0)
+                    + sr.get("Local Bytes Read", 0),
                 )
             )
     print(
         f"{'stage':12} {'wall_s':>7} {'task_s':>8} {'busy%':>6} "
-        f"{'ntask':>6} {'max_task_s':>10} {'gc_s':>6} {'fetch_s':>8} {'ser_s':>6}"
+        f"{'ntask':>6} {'max_task_s':>10} {'gc_s':>6} {'fetch_s':>8} "
+        f"{'ser_s':>6} {'shufW_mb':>9} {'shufR_mb':>9}"
     )
     for st, (t0, t1) in wins.items():
         wall = t1 - t0
@@ -54,16 +59,21 @@ def main() -> None:
             lo, hi = max(t[0], t0), min(t[1], t1)
             if hi > lo:
                 frac = (hi - lo) / (t[1] - t[0]) if t[1] > t[0] else 1.0
-                inwin.append((lo, hi, t[2] * frac, t[3] * frac, t[4] * frac, t[5] * frac))
+                inwin.append(
+                    (lo, hi) + tuple(x * frac for x in t[2:])
+                )
         task_s = sum((t[1] - t[0]) for t in inwin)
         busy = task_s / (wall * n_cores) * 100 if wall > 0 else 0
         mx = max(((t[1] - t[0]) for t in inwin), default=0.0)
         gc = sum(t[3] for t in inwin) / 1e3
         fetch = sum(t[4] for t in inwin) / 1e3
         ser = sum(t[5] for t in inwin) / 1e3
+        sw_mb = sum(t[6] for t in inwin) / 1e6
+        sr_mb = sum(t[7] for t in inwin) / 1e6
         print(
             f"{st:12} {wall:7.1f} {task_s:8.1f} {busy:6.1f} "
-            f"{len(inwin):6d} {mx:10.2f} {gc:6.1f} {fetch:8.1f} {ser:6.1f}"
+            f"{len(inwin):6d} {mx:10.2f} {gc:6.1f} {fetch:8.1f} "
+            f"{ser:6.1f} {sw_mb:9.1f} {sr_mb:9.1f}"
         )
 
 
