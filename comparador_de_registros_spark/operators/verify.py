@@ -95,11 +95,42 @@ def verify_pairs(
     the signatures were computed from. ``contained`` = full containment;
     ``overlap`` = partial overlap with LCS >= substring.min_overlap.
     """
-    sig = signatures.select("conv_id", "shingles")
+    spark = candidates.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # One shared, participant-filtered sig exchange for BOTH join sides
+    # (round-4 verdict: verify was the pipeline's dominant shuffle-byte
+    # line — the full sig table was exchanged per join side). Structure:
+    # 1. left_semi against the candidate participants drops every
+    #    conversation that appears in no pair (exactness preserved — the
+    #    downstream joins are inner on those same ids);
+    # 2. one explicit repartition by conv_id; both join sides project
+    #    conv_id under an alias, so alias-aware output partitioning
+    #    satisfies BOTH joins' distribution requirements from this ONE
+    #    exchange (ReusedExchange — asserted in
+    #    tests/test_physical_plans.py). The fat shingle arrays now cross
+    #    at most (1 + participation-fraction) sig-table exchanges total
+    #    instead of 2 full ones; the unavoidable per-pair cost is the
+    #    sh_a array riding join 2's pair-keyed exchange once.
+    ids = candidates.select(
+        F.explode(F.array("a", "b")).alias("conv_id")
+    ).distinct()
+    if cfg.broadcast_participants:
+        # static broadcast: an AQE-converted broadcast arrives AFTER
+        # the sig exchange was submitted (both sides scheduled in
+        # parallel), leaving the filter post-shuffle where it saves
+        # nothing (measured at 600k base)
+        ids = F.broadcast(ids)
+    sigp = (
+        signatures.select("conv_id", "shingles")
+        .join(ids, "conv_id", "left_semi")
+        .repartition(n_part, "conv_id")
+    )
     withsets = (
-        candidates.join(sig.withColumnRenamed("conv_id", "a"), "a")
+        candidates.join(
+            sigp.select(F.col("conv_id").alias("a"), "shingles"), "a"
+        )
         .withColumnRenamed("shingles", "sh_a")
-        .join(sig.withColumnRenamed("conv_id", "b"), "b")
+        .join(sigp.select(F.col("conv_id").alias("b"), "shingles"), "b")
         .withColumnRenamed("shingles", "sh_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -138,13 +169,41 @@ def verify_pairs(
     )
 
     if cfg.use_substring:
-        spark = candidates.sparkSession
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        d = docs_norm.select("conv_id", "norm")
+        # same shared-exchange shape as the shingle joins: the ladder
+        # residue is a small pair set, so the participant semi-join
+        # prunes the docs table hard before its single norm exchange
+        # the residue id set is BROADCAST explicitly: Spark's size
+        # estimate for a distinct over the cached scored table is
+        # unknown, so without the hint AQE plans an SMJ semi and the
+        # full docs norm column crosses an exchange before the runtime
+        # size is known (measured: 139 MB at 150k base for a ~1 MB id
+        # set). The residue is structurally small — substring-sourced
+        # candidates that FAILED Jaccard, bounded by the anchor
+        # generator's bucket caps — and if it ever outgrew Spark's
+        # broadcast limit the job fails loudly rather than silently.
+        ids_sub = F.broadcast(
+            needs_substring.select(
+                F.explode(F.array("a", "b")).alias("conv_id")
+            ).distinct()
+        )
+        # persisted: the norm_a and norm_b joins both consume d, and
+        # physical planning duplicates the subtree (the two filtered
+        # exchanges don't canonicalize equal under the broadcast semi),
+        # which re-scans docs and writes the exchange twice. The cache
+        # is small by the same residue-size argument; released with the
+        # scored cache via release_scored.
+        d = (
+            docs_norm.select("conv_id", "norm")
+            .join(ids_sub, "conv_id", "left_semi")
+            .repartition(n_part, "conv_id")
+            .persist()
+        )
         with_norms = (
-            needs_substring.join(d.withColumnRenamed("conv_id", "a"), "a")
+            needs_substring.join(
+                d.select(F.col("conv_id").alias("a"), "norm"), "a"
+            )
             .withColumnRenamed("norm", "norm_a")
-            .join(d.withColumnRenamed("conv_id", "b"), "b")
+            .join(d.select(F.col("conv_id").alias("b"), "norm"), "b")
             .withColumnRenamed("norm", "norm_b")
             # EXPLICIT spread before the LCS UDF: the residue is small
             # relative to the corpus, so AQE coalesces the join output
@@ -180,6 +239,7 @@ def verify_pairs(
         )
         verified = no_ladder.unionByName(with_norms)
     else:
+        d = None
         verified = no_ladder
 
     out = verified.withColumn(
@@ -189,12 +249,15 @@ def verify_pairs(
         | F.col("overlap"),
     )
     out._cdr_scored = scored
+    out._cdr_dnorm = d if cfg.use_substring else None
     return out
 
 
 def release_scored(verified: DataFrame) -> None:
-    """Unpersist the intermediate scored-pair cache attached by
-    :func:`verify_pairs`, once the caller has materialized its output."""
-    handle = getattr(verified, "_cdr_scored", None)
-    if handle is not None:
-        handle.unpersist()
+    """Unpersist the intermediate caches attached by
+    :func:`verify_pairs` (the scored pair table and the filtered
+    ladder norms), once the caller has materialized its output."""
+    for attr in ("_cdr_scored", "_cdr_dnorm"):
+        handle = getattr(verified, attr, None)
+        if handle is not None:
+            handle.unpersist()

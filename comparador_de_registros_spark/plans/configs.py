@@ -127,6 +127,16 @@ class DedupConfig:
     # re-canonicalized to min-conv_id labels, so the output table is
     # bit-identical to the unencoded path (parity-tested).
     encode_ids: bool = False
+    # Verify-stage participant filter: the candidate-pair id set is
+    # broadcast into a semi-join that prunes the signature table BEFORE
+    # its single shared exchange, so only conversations that appear in
+    # >= 1 pair ship their shingle arrays (measured: 27% byte cut at
+    # 150k base, and the filter must be STATIC — AQE's broadcast
+    # conversion arrives after the exchange is already submitted).
+    # Flip off when the distinct participant count outgrows what the
+    # driver can broadcast (~100M int64 ids); the fallback keeps the
+    # same single-exchange structure, just filtered post-shuffle.
+    broadcast_participants: bool = True
 
     def __post_init__(self) -> None:
         if self.minhash is None:

@@ -108,19 +108,27 @@ class StreamingDedup:
         safety: a replayed batch must not see its own earlier,
         possibly-partial output)."""
         path = self._path(name)
-        local = "://" not in path or path.startswith("file:")
-        fs_path = path.removeprefix("file://").removeprefix("file:")
-        if local:
-            if not os.path.isdir(fs_path):
-                # first batch: no state yet
-                return spark.createDataFrame([], schema)
-            # pre-round-3 workdirs stored flat parquet files with a
-            # batch_id DATA column (append mode); partition discovery
-            # over a mix of root-level files and batch_id=N dirs fails
-            # or silently ignores data — fail loudly instead of
-            # treating the corpus as empty (silent cross-batch
-            # candidate loss)
-            if any(f.endswith(".parquet") for f in os.listdir(fs_path)):
+        # existence + layout are resolved through Hadoop's FileSystem
+        # API, NOT os.path: a scheme-less path on a cluster whose
+        # default FS is remote (e.g. HDFS) is invisible to the driver's
+        # local filesystem, and an os.path probe there would silently
+        # return an empty corpus — the exact cross-batch candidate loss
+        # this method exists to prevent. getFileSystem resolves the
+        # path against fs.defaultFS exactly like spark.read does.
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            # first batch: no state yet
+            return spark.createDataFrame([], schema)
+        # pre-round-3 workdirs stored flat parquet files with a
+        # batch_id DATA column (append mode); partition discovery
+        # over a mix of root-level files and batch_id=N dirs fails
+        # or silently ignores data — fail loudly instead of
+        # treating the corpus as empty (silent cross-batch
+        # candidate loss)
+        for st in fs.listStatus(hpath):
+            if st.isFile() and st.getPath().getName().endswith(".parquet"):
                 raise RuntimeError(
                     f"legacy streaming-state layout at {path}: "
                     "root-level parquet files found where batch_id=N "
@@ -129,18 +137,7 @@ class StreamingDedup:
                     f"{path}/batch_id=N directory (dropping the "
                     "batch_id column) or start from a fresh workdir."
                 )
-            df = spark.read.parquet(path)
-        else:  # pragma: no cover - remote FS; same contract as local
-            try:
-                df = spark.read.parquet(path)
-            except Exception as e:
-                # ONLY a missing path means "first batch"; any other
-                # failure (mixed legacy layout, permissions, corrupt
-                # footer) must surface, not silently empty the corpus
-                msg = str(e)
-                if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
-                    return spark.createDataFrame([], schema)
-                raise
+        df = spark.read.parquet(path)
         if "batch_id" not in df.columns:  # pragma: no cover
             raise RuntimeError(
                 f"streaming-state table at {path} has no batch_id "

@@ -68,6 +68,47 @@ def test_native_queries_have_no_python(spark):
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"
 
 
+def test_verify_shares_one_signature_exchange(spark):
+    """The verify stage's shingle-set joins must feed BOTH join sides
+    from ONE participant-filtered sig exchange (round-4 verdict: the
+    full sig table was the pipeline's dominant shuffle-byte line).
+    The executed plan must show a ReusedExchange over the shingle
+    exchange instead of a second full exchange, and the participant
+    semi-join must be a static broadcast (pre-exchange filtering)."""
+    from pyspark.sql import functions as F
+
+    from comparador_de_registros_spark.operators.verify import (
+        release_scored,
+        verify_pairs,
+    )
+    from comparador_de_registros_spark.plans.configs import DedupConfig
+
+    sigs = spark.createDataFrame(
+        [(f"c{i}", list(range(i, i + 40))) for i in range(300)],
+        "conv_id string, shingles array<int>",
+    )
+    cand = spark.createDataFrame(
+        [(f"c{2 * i}", f"c{2 * i + 1}", ["lsh"]) for i in range(100)],
+        "a string, b string, sources array<string>",
+    )
+    docs = spark.createDataFrame(
+        [(f"c{i}", f"text {i}") for i in range(300)],
+        "conv_id string, norm string",
+    )
+    out = verify_pairs(cand, sigs, docs, DedupConfig())
+    try:
+        out.where(F.col("is_dup")).count()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        reused_shingle = [
+            ln
+            for ln in plan.splitlines()
+            if "ReusedExchange" in ln and "shingles" in ln
+        ]
+        assert reused_shingle, "no ReusedExchange over the sig exchange"
+    finally:
+        release_scored(out)
+
+
 def test_no_row_at_a_time_python_in_repo():
     """The input_hint mandates vectorized pandas/Arrow UDFs only —
     grep-gate the package for F.udf(/@udf/rdd.map (SURVEY.md §7)."""
