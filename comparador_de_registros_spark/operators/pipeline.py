@@ -5,8 +5,9 @@ lineage + metrics).
 
 Stage graph (each stage reads only its upstream checkpoint tables):
 
-  turns ─ assemble ─> docs(conv_id, doc, norm, n_turns, n_chars)
+  turns ─ assemble ─> docs(conv_id, doc, norm, doc_hash, n_turns, n_chars)
   docs ── exact ────> exact_map(conv_id, rep_id, doc_hash)
+                      (reads only the pruned (conv_id, doc_hash) columns)
   docs ── sign ─────> signatures (reps only — exact-dup collapse is the
                       first skew guard: identical boilerplate never
                       reaches LSH)
@@ -164,9 +165,18 @@ class DedupPipeline:
     # --- stages ------------------------------------------------------------
 
     def stage_assemble(self, spark: SparkSession, turns: DataFrame) -> None:
-        docs = assemble_conversations(
-            turns, max_turns=self.cfg.max_turns_per_conv
-        ).withColumn("norm", normalize_doc_col(F.col("doc")))
+        # doc_hash is computed HERE, in the same pass that materializes
+        # norm, and stored as a docs column: the exact stage then reads
+        # a pruned (conv_id, doc_hash) scan instead of re-reading and
+        # re-hashing the fat norm text — at 35.4M turns the exact stage
+        # was ~80 s of mostly re-ingesting the 17 GB docs table, a
+        # fixed-cost barrier tail the round-4 scaling adjudication
+        # flagged (VERDICT r4 ask #4).
+        docs = (
+            assemble_conversations(turns, max_turns=self.cfg.max_turns_per_conv)
+            .withColumn("norm", normalize_doc_col(F.col("doc")))
+            .withColumn("doc_hash", F.sha2(F.col("norm"), 256))
+        )
         metric_cols = {
             "n_docs": F.count(F.lit(1)),
             "n_turns": F.sum("n_turns"),
@@ -186,10 +196,9 @@ class DedupPipeline:
         )
 
     def stage_exact(self, spark: SparkSession) -> None:
-        docs = self.catalog.read(spark, T_DOCS)
-        hashed = docs.select(
-            "conv_id", F.sha2(F.col("norm"), 256).alias("doc_hash")
-        )
+        # pruned scan: only (conv_id, doc_hash) leave the parquet
+        # footerstore — the norm/doc text columns are never read here
+        hashed = self.catalog.read(spark, T_DOCS).select("conv_id", "doc_hash")
         reps = hashed.groupBy("doc_hash").agg(F.min("conv_id").alias("rep_id"))
         exact_map = hashed.join(reps, "doc_hash").select(
             "conv_id", "rep_id", "doc_hash"
