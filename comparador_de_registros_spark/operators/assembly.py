@@ -15,7 +15,7 @@ Struct sort orders by field position, so turn_idx leads the struct.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TURN_SEPARATOR = "\n"
@@ -36,59 +36,122 @@ def assemble_conversations(
 
     ``max_turns`` is the assemble-shuffle skew guard: a pathological
     mega-conversation (crawler loop, runaway agent) otherwise lands its
-    entire turn set in ONE aggregation task. The cap is applied INSIDE
-    the aggregate — ``collect_list(when(turn_idx < max_turns, ...))``
-    skips null entries, so the aggregation buffer itself never holds
-    more than ``max_turns`` structs (with the input_hint's 0-based
-    dense turn_idx this equals "first max_turns turns in order"; a
-    trailing ``slice`` guarantees the bound even under duplicate
-    turn_idx values). The row is flagged ``truncated`` — surfaced,
-    never silent, matching the dropped-bucket accounting shape of the
-    LSH stage. ``n_turns`` stays the TRUE turn count so metrics remain
-    honest."""
+    entire turn set in ONE aggregation task. The cap is POSITIONAL
+    ("first max_turns turns in turn_idx order") and exact, via two
+    branches:
+
+    * Hot path (every in-contract conversation): the cap is applied
+      INSIDE the aggregate — ``collect_list(when(turn_idx < max_turns,
+      ...))`` skips null entries, so the aggregation buffer itself
+      never holds more than ``max_turns`` structs. With the
+      input_hint's dense 0-based turn_idx this value filter IS the
+      positional cap, so the hot path needs no window/sort.
+    * Rescue path: on sparse / non-0-based turn_idx the value filter
+      would lose turns a positional cap keeps (e.g. a 2-turn
+      conversation with turn_idx {0, 9} under cap 3). A slim
+      (conv_id, turn_idx)-only aggregate detects exactly those
+      conversations — ``count(turn_idx < cap) < least(n_turns, cap)``
+      — and ONLY they are re-aggregated with a rank-based
+      (``row_number``) cap. The window sort spills instead of
+      buffering, so the skew guard is preserved. With AQE enabled an
+      empty rescue set propagates at runtime and the re-scan is
+      eliminated, so in-contract inputs pay only the pruned 2-column
+      counts scan.
+
+    Rows capped below their true turn count are flagged ``truncated``
+    — surfaced, never silent, matching the dropped-bucket accounting
+    shape of the LSH stage. ``n_turns`` stays the TRUE turn count so
+    metrics remain honest."""
+    text_col = (
+        F.concat_ws(": ", F.col("role"), F.col("text"))
+        if include_role
+        else F.col("text")
+    )
     turn_struct = F.struct(
-        F.col("turn_idx").alias("turn_idx"),
-        (
-            F.concat_ws(": ", F.col("role"), F.col("text"))
-            if include_role
-            else F.col("text")
-        ).alias("text"),
+        F.col("turn_idx").alias("turn_idx"), text_col.alias("text")
     )
-    collected = (
-        F.collect_list(F.when(F.col("turn_idx") < max_turns, turn_struct))
-        if max_turns is not None
-        else F.collect_list(turn_struct)
-    )
-    assembled = turns.groupBy("conv_id").agg(
-        F.array_sort(collected).alias("turns_sorted"),
-        F.count(F.lit(1)).alias("n_turns"),
-    )
-    kept = (
-        F.slice("turns_sorted", 1, max_turns)
-        if max_turns is not None
-        else F.col("turns_sorted")
-    )
-    out = assembled.select(
-        "conv_id",
-        kept.alias("__kept"),
-        "n_turns",
-    ).select(
-        "conv_id",
-        F.array_join(
-            F.transform("__kept", lambda t: t["text"]), sep
-        ).alias("doc"),
-        "n_turns",
-        F.size("__kept").alias("__n_kept"),
-    ).withColumn("n_chars", F.length("doc"))
-    if max_turns is not None:
-        # truncated = ACTUAL loss, not just count > cap: the in-agg
-        # value filter (turn_idx < max_turns) also drops turns whose
-        # index exceeds the cap on sparse / non-0-based turn_idx inputs
-        # even when the conversation has fewer than max_turns turns —
-        # those rows must be flagged too ("surfaced, never silent")
-        out = out.withColumn(
-            "truncated", F.col("n_turns") > F.col("__n_kept")
+
+    def _render(assembled: DataFrame) -> DataFrame:
+        return assembled.select(
+            "conv_id",
+            F.array_join(
+                F.transform("__kept", lambda t: t["text"]), sep
+            ).alias("doc"),
+            "n_turns",
+            F.size("__kept").alias("__n_kept"),
+        ).withColumn("n_chars", F.length("doc"))
+
+    if max_turns is None:
+        out = _render(
+            turns.groupBy("conv_id")
+            .agg(
+                F.array_sort(F.collect_list(turn_struct)).alias("turns_sorted"),
+                F.count(F.lit(1)).alias("n_turns"),
+            )
+            .select("conv_id", F.col("turns_sorted").alias("__kept"), "n_turns")
         )
+        return out.drop("__n_kept")
+
+    cap = F.lit(max_turns)
+    fast = _render(
+        turns.groupBy("conv_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(F.col("turn_idx") < max_turns, turn_struct))
+            ).alias("turns_sorted"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+        .select(
+            "conv_id",
+            F.slice("turns_sorted", 1, max_turns).alias("__kept"),
+            "n_turns",
+        )
+    )
+    # value-filter result is positional iff it kept least(n_turns, cap)
+    # turns; computable per-row from the agg's own columns — no join on
+    # the fat branch
+    fast = fast.where(F.col("__n_kept") >= F.least(F.col("n_turns"), cap))
+
+    # rescue ids from a SLIM counts-only aggregate (pruned 2-column
+    # scan, map-side combined): n_lt < least(n_turns, cap) is exactly
+    # the set the fast branch dropped above
+    counts = turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.when(F.col("turn_idx") < max_turns, 1).otherwise(0)
+        ).alias("__n_lt"),
+    )
+    rescue_ids = counts.where(
+        F.col("__n_lt") < F.least(F.col("__n"), cap)
+    ).select("conv_id")
+
+    # rank-based positional cap for the rescued conversations only;
+    # the (turn_idx, text) order key makes ties deterministic
+    w_order = Window.partitionBy("conv_id").orderBy("turn_idx", "text")
+    w_all = Window.partitionBy("conv_id")
+    ranked = (
+        turns.join(rescue_ids, "conv_id", "left_semi")
+        .select(
+            "conv_id",
+            F.col("turn_idx"),
+            text_col.alias("text"),
+            F.row_number().over(w_order).alias("__rn"),
+            F.count(F.lit(1)).over(w_all).alias("n_turns"),
+        )
+        .where(F.col("__rn") <= max_turns)
+    )
+    rescued = _render(
+        ranked.groupBy("conv_id", "n_turns")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__rn"), F.col("text")))
+            ).alias("__kept")
+        )
+        .select("conv_id", "__kept", "n_turns")
+    )
+    out = fast.unionByName(rescued).withColumn(
+        "truncated", F.col("n_turns") > F.col("__n_kept")
+    )
     return out.drop("__n_kept")
 
 

@@ -121,18 +121,24 @@ def test_assembly_max_turns_skew_guard(spark):
 
 
 def test_assembly_max_turns_sparse_idx_flagged(spark):
-    """The in-aggregate cap is a VALUE filter (turn_idx < max_turns), so
-    sparse / non-0-based turn_idx inputs can lose turns even below the
-    cap count — such rows must be flagged truncated (surfaced, never
-    silent), and dense rows under the cap must not be."""
+    """The cap is POSITIONAL: sparse / non-0-based turn_idx inputs keep
+    their first max_turns turns in order (the rank-based rescue path),
+    so turns below the cap COUNT are never lost; only conversations
+    truly longer than the cap are truncated (and flagged). Dense rows
+    under the cap are untouched."""
     rows = [
-        # 2 turns but one idx >= cap: loses t9 -> truncated
+        # 2 turns, one idx >= cap: BOTH kept (rescue), not truncated
         ("sparse", 0, "user", "t0", "", None),
         ("sparse", 9, "user", "t9", "", None),
-        # 1-based dense, 3 turns, cap 3: loses idx 3 -> truncated
+        # 1-based dense, 3 turns, cap 3: all 3 kept (rescue)
         ("onebased", 1, "user", "a", "", None),
         ("onebased", 2, "user", "b", "", None),
         ("onebased", 3, "user", "c", "", None),
+        # 1-based dense, 4 turns, cap 3: first 3 kept, truncated
+        ("onebased_long", 1, "user", "p", "", None),
+        ("onebased_long", 2, "user", "q", "", None),
+        ("onebased_long", 3, "user", "r", "", None),
+        ("onebased_long", 4, "user", "s", "", None),
         # dense 0-based under the cap: untouched
         ("dense", 0, "user", "x", "", None),
         ("dense", 1, "user", "y", "", None),
@@ -146,9 +152,13 @@ def test_assembly_max_turns_sparse_idx_flagged(spark):
         r["conv_id"]: r
         for r in assemble_conversations(df, max_turns=3).collect()
     }
-    assert out["sparse"]["doc"] == "t0" and out["sparse"]["truncated"]
+    assert out["sparse"]["doc"] == "t0\nt9" and not out["sparse"]["truncated"]
     assert out["sparse"]["n_turns"] == 2
-    assert out["onebased"]["doc"] == "a\nb" and out["onebased"]["truncated"]
+    assert out["onebased"]["doc"] == "a\nb\nc"
+    assert not out["onebased"]["truncated"]
+    assert out["onebased_long"]["doc"] == "p\nq\nr"
+    assert out["onebased_long"]["n_turns"] == 4
+    assert out["onebased_long"]["truncated"]
     assert out["dense"]["doc"] == "x\ny" and not out["dense"]["truncated"]
 
 
