@@ -145,8 +145,11 @@ def run_dedup_shared(spark, sf_dir: str) -> dict[str, float]:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    verified = doc_dedup.signature_dup_pairs(docs, DedupConfig()).persist()
+    # timer starts BEFORE signature_dup_pairs: since round 5 the builder
+    # eagerly materializes the candidate-pair cache inside it, so timing
+    # only the final count would silently exclude the sign + LSH stages
     t0 = time.time()
+    verified = doc_dedup.signature_dup_pairs(docs, DedupConfig()).persist()
     n_pairs = verified.where("is_dup").count()
     t_pairs = time.time() - t0
     print(f"# minhash_dup_pairs: {t_pairs:.2f}s ({n_pairs} rows)",

@@ -167,20 +167,36 @@ def signature_dup_pairs(
         cfg.simhash if cfg.use_simhash else None,
         cfg.use_substring,
     )
-    out = verify_pairs(cand, sigs, convs, cfg)
+    # persist the (slim) candidate pairs: verify_pairs consumes the
+    # candidates plan more than once — the participant id set it
+    # broadcasts for the shared sig exchange, plus the pair joins. In
+    # the checkpointing pipeline `candidates` is a parquet table and the
+    # re-reads are cheap scans, but here it is a LIVE plan containing
+    # the full LSH explode->groupBy; without a cache that shuffle runs
+    # once per reference (measured at sf0.1: ~+8 s on
+    # minhash_dup_pairs, the round-4 -> round-5 regression). The cache
+    # is materialized EAGERLY: the participant-broadcast job and the
+    # pair joins are submitted concurrently, so a lazy persist races —
+    # both consumers can start before either populates it.
+    cand = cand.persist()
+    n_cand = cand.count()
+    out = verify_pairs(cand, sigs, convs, cfg, n_candidates=n_cand)
     out._cdr_sigs = sigs
+    out._cdr_cand = cand
     return out
 
 
 def release_signature_run(verified: DataFrame) -> None:
-    """Unpersist BOTH caches a :func:`signature_dup_pairs` result holds
-    — the fat signature table (``_cdr_sigs``, shingle arrays) and
-    verify's slim scored-pair table (``_cdr_scored``) — once the caller
+    """Unpersist EVERY cache a :func:`signature_dup_pairs` result holds
+    — the fat signature table (``_cdr_sigs``, shingle arrays), the slim
+    candidate-pair table (``_cdr_cand``), and verify's scored-pair /
+    ladder-norm caches (via :func:`release_scored`) — once the caller
     has materialized everything it needs. Without this, repeated query
     invocations in one session accumulate MEMORY_AND_DISK cached plans
     until LRU eviction (measured: the leaked shingle cache from one
     sf0.1 run slows every subsequent headline query 15-45%)."""
     release_scored(verified)
-    handle = getattr(verified, "_cdr_sigs", None)
-    if handle is not None:
-        handle.unpersist()
+    for attr in ("_cdr_sigs", "_cdr_cand"):
+        handle = getattr(verified, attr, None)
+        if handle is not None:
+            handle.unpersist()

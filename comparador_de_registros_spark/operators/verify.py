@@ -88,51 +88,80 @@ def verify_pairs(
     signatures: DataFrame,
     docs_norm: DataFrame,
     cfg: DedupConfig,
+    n_candidates: int | None = None,
 ) -> DataFrame:
     """-> (a, b, jaccard, contained, overlap, is_dup, sources)
 
     ``docs_norm`` must carry (conv_id, norm) — the same normalized text
     the signatures were computed from. ``contained`` = full containment;
     ``overlap`` = partial overlap with LCS >= substring.min_overlap.
+
+    ``n_candidates``: pass the known candidate-pair count (callers that
+    materialize the candidate table anyway) to let verify pick the
+    small-corpus plan below; ``None`` means unknown -> large-corpus
+    plan.
     """
     spark = candidates.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # One shared, participant-filtered sig exchange for BOTH join sides
-    # (round-4 verdict: verify was the pipeline's dominant shuffle-byte
-    # line — the full sig table was exchanged per join side). Structure:
-    # 1. left_semi against the candidate participants drops every
-    #    conversation that appears in no pair (exactness preserved — the
-    #    downstream joins are inner on those same ids);
-    # 2. one explicit repartition by conv_id; both join sides project
-    #    conv_id under an alias, so alias-aware output partitioning
-    #    satisfies BOTH joins' distribution requirements from this ONE
-    #    exchange (ReusedExchange — asserted in
-    #    tests/test_physical_plans.py). The fat shingle arrays now cross
-    #    at most (1 + participation-fraction) sig-table exchanges total
-    #    instead of 2 full ones; the unavoidable per-pair cost is the
-    #    sh_a array riding join 2's pair-keyed exchange once.
-    ids = candidates.select(
-        F.explode(F.array("a", "b")).alias("conv_id")
-    ).distinct()
-    if cfg.broadcast_participants:
-        # static broadcast: an AQE-converted broadcast arrives AFTER
-        # the sig exchange was submitted (both sides scheduled in
-        # parallel), leaving the filter post-shuffle where it saves
-        # nothing (measured at 600k base)
-        ids = F.broadcast(ids)
-    sigp = (
-        signatures.select("conv_id", "shingles")
-        .join(ids, "conv_id", "left_semi")
-        .repartition(n_part, "conv_id")
+    small = (
+        n_candidates is not None
+        and n_candidates <= cfg.verify_small_candidates_max
     )
-    withsets = (
-        candidates.join(
-            sigp.select(F.col("conv_id").alias("a"), "shingles"), "a"
+    if small:
+        # Small-corpus plan: the slim pair side is broadcast into join 1
+        # (BHJ, zero exchanges); join 2 is left to Catalyst — the plan
+        # it picked naturally before the shared-exchange restructure,
+        # whose extra fixed jobs (participant distinct + semi-join +
+        # explicit repartition) cost ~+3 s at query scale while saving
+        # bytes only when the sig table is large enough for its
+        # exchange to dominate.
+        sig = signatures.select("conv_id", "shingles")
+        withsets = (
+            F.broadcast(candidates)
+            .join(sig.withColumnRenamed("conv_id", "a"), "a")
+            .withColumnRenamed("shingles", "sh_a")
+            .join(sig.withColumnRenamed("conv_id", "b"), "b")
+            .withColumnRenamed("shingles", "sh_b")
         )
-        .withColumnRenamed("shingles", "sh_a")
-        .join(sigp.select(F.col("conv_id").alias("b"), "shingles"), "b")
-        .withColumnRenamed("shingles", "sh_b")
-    )
+    else:
+        # One shared, participant-filtered sig exchange for BOTH join
+        # sides (round-4 verdict: verify was the pipeline's dominant
+        # shuffle-byte line — the full sig table was exchanged per join
+        # side). Structure:
+        # 1. left_semi against the candidate participants drops every
+        #    conversation that appears in no pair (exactness preserved —
+        #    the downstream joins are inner on those same ids);
+        # 2. one explicit repartition by conv_id; both join sides
+        #    project conv_id under an alias, so alias-aware output
+        #    partitioning satisfies BOTH joins' distribution
+        #    requirements from this ONE exchange (ReusedExchange —
+        #    asserted in tests/test_physical_plans.py). The fat shingle
+        #    arrays now cross at most (1 + participation-fraction)
+        #    sig-table exchanges total instead of 2 full ones; the
+        #    unavoidable per-pair cost is the sh_a array riding join 2's
+        #    pair-keyed exchange once.
+        ids = candidates.select(
+            F.explode(F.array("a", "b")).alias("conv_id")
+        ).distinct()
+        if cfg.broadcast_participants:
+            # static broadcast: an AQE-converted broadcast arrives AFTER
+            # the sig exchange was submitted (both sides scheduled in
+            # parallel), leaving the filter post-shuffle where it saves
+            # nothing (measured at 600k base)
+            ids = F.broadcast(ids)
+        sigp = (
+            signatures.select("conv_id", "shingles")
+            .join(ids, "conv_id", "left_semi")
+            .repartition(n_part, "conv_id")
+        )
+        withsets = (
+            candidates.join(
+                sigp.select(F.col("conv_id").alias("a"), "shingles"), "a"
+            )
+            .withColumnRenamed("shingles", "sh_a")
+            .join(sigp.select(F.col("conv_id").alias("b"), "shingles"), "b")
+            .withColumnRenamed("shingles", "sh_b")
+        )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jacc = F.when(union > 0, inter / union).otherwise(F.lit(0.0))

@@ -138,6 +138,19 @@ class DedupConfig:
     # same single-exchange structure, just filtered post-shuffle.
     broadcast_participants: bool = True
 
+    # verify-stage plan split point: when the caller KNOWS the candidate
+    # pair count (e.g. signature_dup_pairs materializes its candidate
+    # cache) and it is at most this, verify joins broadcast the pair
+    # side directly into the cached signature table — zero sig-table
+    # exchanges, the optimal small-corpus plan. Above it (or when the
+    # count is unknown, as in the checkpointing pipeline) verify uses
+    # the shared participant-filtered sig exchange, the optimal
+    # large-corpus plan (round-4 verdict: verify shuffle bytes). Only
+    # the slim (a, b, sources) pair table is ever broadcast (~50 B/row
+    # -> ~10 MB at the threshold); the fat shingle arrays stay
+    # partitioned.
+    verify_small_candidates_max: int = 200_000
+
     def __post_init__(self) -> None:
         if self.minhash is None:
             object.__setattr__(self, "minhash", MinHashConfig())
