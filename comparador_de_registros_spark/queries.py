@@ -50,6 +50,25 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _source_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of a parquet file/dir (names + sizes +
+    mtimes) for cache keys — changes whenever the source is
+    regenerated, without scanning the data."""
+    import hashlib
+
+    h = hashlib.sha256()
+    if os.path.isdir(path):
+        for entry in sorted(os.scandir(path), key=lambda e: e.name):
+            st = entry.stat()
+            h.update(f"{entry.name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    else:
+        st = os.stat(path)
+        h.update(
+            f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}".encode()
+        )
+    return h.hexdigest()[:12]
+
+
 _TOKENS = lambda c: F.filter(  # noqa: E731
     F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != F.lit("")
 )
@@ -1337,13 +1356,22 @@ def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the scan as a partition filter (pruning plan-asserted in
     tests/test_training_ops.py). Same exact-at-nprobe==nlist geometry
     as ``ivf_topk``, so the brute-force DuckDB SQL is its oracle too."""
-    import tempfile
-
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    # the cached index is keyed by a CONTENT fingerprint of the source
+    # parquet (file names + sizes + mtimes), under a repo-local cache
+    # dir — not a world-shared /tmp path keyed only by the sf-dir
+    # basename, where a regenerated fixture or a second checkout would
+    # silently serve a stale or foreign index
     sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    path = os.path.join(tempfile.gettempdir(), f"cdr_ivf_index_{sf_tag}")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fp = _source_fingerprint(src)
+    cache_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".bench_cache",
+    )
+    path = os.path.join(cache_root, f"ivf_index_{sf_tag}_{fp}")
     if not os.path.exists(os.path.join(path, "corpus", "_SUCCESS")):
         build_ivf_index(emb, path, nlist=8)
     queries = emb.where(F.col("vec_id") < 8).select(

@@ -75,18 +75,29 @@ def test_signature_dup_pairs(spark, docs):
 
 
 def test_release_signature_run_frees_all_caches(spark, docs):
-    """signature_dup_pairs holds two session-lifetime caches (fat
-    signature table + slim scored-pair table); release_signature_run
-    must free BOTH — leaked caches measurably slowed every subsequent
-    query in the round-3 bench."""
-    cm = spark._jsparkSession.sharedState().cacheManager()
-    cm.clearCache()
-    assert cm.isEmpty()
+    """signature_dup_pairs holds session-lifetime caches (fat signature
+    table, slim candidate + scored-pair tables, ladder norms);
+    release_signature_run must free ALL of them — leaked caches
+    measurably slowed every subsequent query in the round-3 bench.
+    Asserted on the specific handles, not on global CacheManager
+    emptiness, so the test neither clears nor constrains caches owned
+    by other fixtures in the shared session."""
+
+    def _is_cached(df):
+        lvl = df.storageLevel
+        return lvl.useMemory or lvl.useDisk
+
     verified = doc_dedup.signature_dup_pairs(docs, DedupConfig())
     verified.where("is_dup").count()
-    assert not cm.isEmpty()  # caches live while results are drawn
+    handles = [
+        h
+        for attr in ("_cdr_sigs", "_cdr_cand", "_cdr_scored", "_cdr_dnorm")
+        if (h := getattr(verified, attr, None)) is not None
+    ]
+    assert len(handles) >= 3  # sigs + candidates + scored at minimum
+    assert all(_is_cached(h) for h in handles)  # live while results drawn
     doc_dedup.release_signature_run(verified)
-    assert cm.isEmpty()
+    assert not any(_is_cached(h) for h in handles)
 
 
 def _embeddings(spark, n=40, dim=16, seed=3):
@@ -311,16 +322,116 @@ def test_multimodal_real_wav_decode(spark):
     assert feats == feats2
 
 
+def _png_filter_line(ftype, cur, prev, bpp=1):
+    """Forward PNG scanline filter per the spec — an INDEPENDENT
+    implementation the decoder's reconstruction is tested against."""
+    cur = cur.astype(int)
+    prev = prev.astype(int)
+    out = np.zeros_like(cur)
+    for i in range(len(cur)):
+        a = cur[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) // 2
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[i] = (cur[i] - pred) % 256
+    return out.astype(np.uint8)
+
+
+def test_png_stdlib_roundtrip():
+    """encode_png_gray -> _decode_png_stdlib is identity on 8-bit
+    grayscale (no imaging library involved)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(11, 13), dtype=np.uint8)
+    assert np.array_equal(
+        multimodal._decode_png_stdlib(multimodal.encode_png_gray(img)), img
+    )
+
+
+def test_png_stdlib_all_filters():
+    """The decoder reconstructs every scanline filter type (None, Sub,
+    Up, Average, Paeth), validated against an independent forward
+    filter implementation."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(5, 9), dtype=np.uint8)
+    prev = np.zeros(9, dtype=np.uint8)
+    raw = b""
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        raw += bytes([ftype]) + _png_filter_line(ftype, img[y], prev).tobytes()
+        prev = img[y]
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 5, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(multimodal._decode_png_stdlib(png), img)
+
+
+def test_png_stdlib_rgb_luma():
+    """Color type 2 (RGB) decodes through the ITU-R 601 integer luma —
+    the same formula Pillow's convert(\"L\") uses."""
+    import struct
+    import zlib
+
+    rgb = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 200, 30]]],
+        dtype=np.uint8,
+    )
+    raw = b"\x00" + rgb.tobytes()
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 1, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    px = rgb.astype(int)
+    expected = (
+        (px[..., 0] * 299 + px[..., 1] * 587 + px[..., 2] * 114) // 1000
+    ).astype(np.uint8)
+    assert np.array_equal(multimodal._decode_png_stdlib(png), expected)
+
+
 def test_multimodal_real_image_decode(spark):
-    """Pillow path, exercised only where Pillow is installed."""
-    PIL = pytest.importorskip("PIL")  # noqa: F841
-    import io
-
-    from PIL import Image
-
-    buf = io.BytesIO()
-    Image.new("L", (8, 8), color=200).save(buf, format="PNG")
-    rows = [(0, "image", buf.getvalue(), 8, 8, None, "png")]
+    """fake=False image decode runs HERE, with no imaging wheels: the
+    stdlib PNG path (Pillow, when installed, yields identical output
+    by construction). The feature equals the bucketed-mean profile of
+    the actual decoded pixels."""
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 256
+    png = multimodal.encode_png_gray(img)
+    rows = [(0, "image", png, 8, 8, None, "png")]
     assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
     out = multimodal.extract_features(assets, fake=False).collect()
     assert len(out) == 1 and len(out[0]["feature"]) == multimodal.FEATURE_DIM
+    signal = (img.astype(np.float32).ravel() - 127.5) / 127.5
+    expected = [
+        float(b.mean()) for b in np.array_split(signal, multimodal.FEATURE_DIM)
+    ]
+    assert np.allclose(out[0]["feature"], expected, atol=1e-6)
