@@ -107,6 +107,31 @@ def verify_pairs(
         n_candidates is not None
         and n_candidates <= cfg.verify_small_candidates_max
     )
+    broadcast_sigs = False
+    ids_cached = None
+    if not small and n_candidates is not None:
+        # Medium plan probe: when the pair count is known (the caller
+        # materialized the candidate cache) but too big to broadcast the
+        # pair side, the PARTICIPANT side may still be small enough to
+        # broadcast instead — one cheap distinct-count job over the
+        # cached pair table decides. Broadcasting the participant-
+        # filtered sig table removes every exchange over the (much
+        # larger) pair side: the fat shingle arrays never ride a
+        # pair-keyed shuffle and the 2 joins run as BHJ in the pairs'
+        # existing partitioning (guide §3.1; measured at 50k docs /
+        # 2.76M pairs: scored compute 15.3s shared-exchange -> 12.4s).
+        # The id set is persisted so the probe count and the semi-join
+        # below share one computation; released via release_scored.
+        ids_cached = (
+            candidates.select(F.explode(F.array("a", "b")).alias("conv_id"))
+            .distinct()
+            .persist()
+        )
+        n_participants = ids_cached.count()
+        broadcast_sigs = n_participants <= cfg.verify_broadcast_sigs_max
+        if not broadcast_sigs:
+            ids_cached.unpersist()
+            ids_cached = None
     if small:
         # Small-corpus plan: the slim pair side is broadcast into join 1
         # (BHJ, zero exchanges); join 2 is left to Catalyst — the plan
@@ -121,6 +146,24 @@ def verify_pairs(
             .join(sig.withColumnRenamed("conv_id", "a"), "a")
             .withColumnRenamed("shingles", "sh_a")
             .join(sig.withColumnRenamed("conv_id", "b"), "b")
+            .withColumnRenamed("shingles", "sh_b")
+        )
+    elif broadcast_sigs:
+        # Medium plan: broadcast the participant-filtered sig side into
+        # BOTH joins. The pair side is never exchanged at all; the only
+        # data movement is the one broadcast (n_participants * avg sig
+        # bytes, capped by verify_broadcast_sigs_max — see configs.py
+        # for the byte math).
+        sigb = F.broadcast(
+            signatures.select("conv_id", "shingles")
+            .join(F.broadcast(ids_cached), "conv_id", "left_semi")
+        )
+        withsets = (
+            candidates.join(
+                sigb.select(F.col("conv_id").alias("a"), "shingles"), "a"
+            )
+            .withColumnRenamed("shingles", "sh_a")
+            .join(sigb.select(F.col("conv_id").alias("b"), "shingles"), "b")
             .withColumnRenamed("shingles", "sh_b")
         )
     else:
@@ -162,9 +205,18 @@ def verify_pairs(
             .join(sigp.select(F.col("conv_id").alias("b"), "shingles"), "b")
             .withColumnRenamed("shingles", "sh_b")
         )
+    # |A ∪ B| = |A| + |B| - |A ∩ B| EXACTLY, because the stored shingle
+    # arrays are distinct per doc (signatures.py: np.unique /
+    # _dedupe_sorted). Computing the union via arithmetic instead of
+    # array_union removes one per-pair hash-set build (and the
+    # when-guard's second evaluation of it): measured 50.5s -> 15.3s on
+    # the scored projection at 50k docs / 2.76M pairs. The division
+    # consumes the same integer values as before, so the double result
+    # is bit-identical. u2 == 0 iff both arrays are empty (u2 >=
+    # max(|A|,|B|) otherwise), exactly when array_union was empty.
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jacc = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    u2 = F.size("sh_a") + F.size("sh_b") - inter
+    jacc = F.when(u2 > 0, inter / u2).otherwise(F.lit(0.0))
     # persist the slim scored pair table (a, b, sources, jaccard —
     # tens of bytes/pair): the pass-through branch and the substring
     # ladder branch below both project from it, their filters push down
@@ -279,14 +331,16 @@ def verify_pairs(
     )
     out._cdr_scored = scored
     out._cdr_dnorm = d if cfg.use_substring else None
+    out._cdr_ids = ids_cached
     return out
 
 
 def release_scored(verified: DataFrame) -> None:
     """Unpersist the intermediate caches attached by
-    :func:`verify_pairs` (the scored pair table and the filtered
-    ladder norms), once the caller has materialized its output."""
-    for attr in ("_cdr_scored", "_cdr_dnorm"):
+    :func:`verify_pairs` (the scored pair table, the filtered ladder
+    norms, and the medium-plan participant id set), once the caller has
+    materialized its output."""
+    for attr in ("_cdr_scored", "_cdr_dnorm", "_cdr_ids"):
         handle = getattr(verified, attr, None)
         if handle is not None:
             handle.unpersist()

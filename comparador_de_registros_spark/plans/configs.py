@@ -151,6 +151,20 @@ class DedupConfig:
     # partitioned.
     verify_small_candidates_max: int = 200_000
 
+    # verify-stage MEDIUM plan: when the pair count is known but above
+    # verify_small_candidates_max, verify counts the distinct
+    # participants (one job over the caller's cached pair table); if at
+    # most this many, the participant-filtered sig table is BROADCAST
+    # into both shingle joins instead of exchanged — the pair side then
+    # never shuffles at all. Byte budget: 200k participants * ~1.1 KB
+    # avg sig row ≈ 220 MB broadcast, inside the 8 GB/512M-row broadcast
+    # cap and comfortable for an 8 GB driver; above it the large
+    # shared-exchange plan (the 100 TB shape) applies. Measured at 50k
+    # docs / 2.76M candidates (sf1.0 bench): scored stage 15.3s
+    # (shared exchange) -> 12.4s (broadcast sigs), and no sort of the
+    # fat pair rows.
+    verify_broadcast_sigs_max: int = 200_000
+
     def __post_init__(self) -> None:
         if self.minhash is None:
             object.__setattr__(self, "minhash", MinHashConfig())
