@@ -96,6 +96,13 @@ def verify_pairs(
     the signatures were computed from. ``contained`` = full containment;
     ``overlap`` = partial overlap with LCS >= substring.min_overlap.
 
+    ``jaccard`` is the exact shingle-set Jaccard for every pair that
+    could possibly pass the threshold (and for every substring-sourced
+    pair, whose exact value can reach the output via the ladder); it is
+    NULL for pairs the size bound min(|A|,|B|)/max(|A|,|B|) < threshold
+    proves rejected — their is_dup is exactly False and the expensive
+    per-pair intersection is skipped.
+
     ``n_candidates``: pass the known candidate-pair count (callers that
     materialize the candidate table anyway) to let verify pick the
     small-corpus plan below; ``None`` means unknown -> large-corpus
@@ -215,8 +222,27 @@ def verify_pairs(
     # is bit-identical. u2 == 0 iff both arrays are empty (u2 >=
     # max(|A|,|B|) otherwise), exactly when array_union was empty.
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    u2 = F.size("sh_a") + F.size("sh_b") - inter
-    jacc = F.when(u2 > 0, inter / u2).otherwise(F.lit(0.0))
+    na, nb = F.size("sh_a"), F.size("sh_b")
+    u2 = na + nb - inter
+    # Size-bound prune (exact): J = inter/u2 <= min(|A|,|B|)/max(|A|,|B|)
+    # because inter <= min and u2 >= max. Both sides are computed with
+    # the SAME double division as the jaccard itself, and fl() is
+    # monotone, so fl(inter/u2) <= fl(min/max) — if the bound is below
+    # the threshold the pair CANNOT pass, and the per-pair
+    # array_intersect hash-set build (the single most expensive
+    # expression of the whole engine — ~37% of candidate pairs are
+    # prunable at the sf1.0 bench) is skipped. Pruned rows carry
+    # jaccard = NULL ("provably below threshold, not computed");
+    # substring-sourced pairs are never pruned, so every row entering
+    # the containment/LCS ladder — and therefore every row that can
+    # reach the is_dup output — keeps its exact jaccard value.
+    bound_fail = (
+        F.least(na, nb) / F.greatest(na, nb)
+        < F.lit(float(cfg.jaccard_threshold))
+    ) & ~F.array_contains("sources", "substring")
+    jacc = F.when(bound_fail, F.lit(None).cast("double")).otherwise(
+        F.when(u2 > 0, inter / u2).otherwise(F.lit(0.0))
+    )
     # persist the slim scored pair table (a, b, sources, jaccard —
     # tens of bytes/pair): the pass-through branch and the substring
     # ladder branch below both project from it, their filters push down
@@ -231,7 +257,11 @@ def verify_pairs(
         "a", "b", "sources", jacc.alias("jaccard")
     ).persist()
 
-    jacc_fail = F.col("jaccard") < cfg.jaccard_threshold
+    # NULL jaccard = size-bound-pruned = proven fail (never substring-
+    # sourced, so never ladder-eligible)
+    jacc_fail = F.col("jaccard").isNull() | (
+        F.col("jaccard") < cfg.jaccard_threshold
+    )
     needs_substring = scored.where(
         jacc_fail & F.array_contains("sources", "substring")
     )
@@ -279,12 +309,20 @@ def verify_pairs(
             .repartition(n_part, "conv_id")
             .persist()
         )
+        # On the small/medium plans the corpus itself fits a broadcast,
+        # so the residue norms certainly do: broadcasting d turns the
+        # two norm joins into BHJs with zero exchanges/sorts over the
+        # residue (several fixed stages saved per run at query scale).
+        # The large plan keeps the exchange shape — there the residue
+        # norm BYTES (full doc texts) may exceed broadcast limits even
+        # when the pair count is modest.
+        d_side = F.broadcast(d) if (small or broadcast_sigs) else d
         with_norms = (
             needs_substring.join(
-                d.select(F.col("conv_id").alias("a"), "norm"), "a"
+                d_side.select(F.col("conv_id").alias("a"), "norm"), "a"
             )
             .withColumnRenamed("norm", "norm_a")
-            .join(d.select(F.col("conv_id").alias("b"), "norm"), "b")
+            .join(d_side.select(F.col("conv_id").alias("b"), "norm"), "b")
             .withColumnRenamed("norm", "norm_b")
             # EXPLICIT spread before the LCS UDF: the residue is small
             # relative to the corpus, so AQE coalesces the join output
@@ -317,20 +355,31 @@ def verify_pairs(
                 ),
             )
             .select("a", "b", "sources", "jaccard", "contained", "overlap")
+            # persisted: the ladder branch (joins + the per-pair LCS
+            # kernel) is consumed by every downstream action on the
+            # verified union — without a cache each count/write re-runs
+            # it. The table is residue-sized (same smallness argument
+            # as d); released via release_scored.
+            .persist()
         )
         verified = no_ladder.unionByName(with_norms)
     else:
         d = None
+        with_norms = None
         verified = no_ladder
 
     out = verified.withColumn(
         "is_dup",
-        (F.col("jaccard") >= cfg.jaccard_threshold)
+        # NULL jaccard = size-bound-pruned = proven below threshold
+        F.coalesce(
+            F.col("jaccard") >= cfg.jaccard_threshold, F.lit(False)
+        )
         | F.col("contained")
         | F.col("overlap"),
     )
     out._cdr_scored = scored
     out._cdr_dnorm = d if cfg.use_substring else None
+    out._cdr_ladder = with_norms if cfg.use_substring else None
     out._cdr_ids = ids_cached
     return out
 
@@ -340,7 +389,7 @@ def release_scored(verified: DataFrame) -> None:
     :func:`verify_pairs` (the scored pair table, the filtered ladder
     norms, and the medium-plan participant id set), once the caller has
     materialized its output."""
-    for attr in ("_cdr_scored", "_cdr_dnorm", "_cdr_ids"):
+    for attr in ("_cdr_scored", "_cdr_dnorm", "_cdr_ladder", "_cdr_ids"):
         handle = getattr(verified, attr, None)
         if handle is not None:
             handle.unpersist()
