@@ -278,15 +278,42 @@ def unified_candidates(
 
         return F.flatten(F.transform(mcol, inner))
 
+    # Per-pair source attribution as a BIT MASK instead of
+    # collect_set(string): bit_or is a declarative aggregate (plain long
+    # buffer, partial/map-side combine) where collect_set forces
+    # ObjectHashAggregate with per-group object buffers — measurably
+    # cheaper at millions of pairs. The sorted sources array is
+    # reconstructed natively from the mask: slice(array(x), 1, bit)
+    # yields [] or [x], and concatenating in alphabetical generator
+    # order ("lsh" < "simhash" < "substring") reproduces
+    # array_sort(collect_set(source)) exactly.
+    src_bit = (
+        F.when(F.col("gen") == "lsh", F.lit(1))
+        .when(F.col("gen") == "simhash", F.lit(2))
+        .otherwise(F.lit(4))
+    )
+    mask = F.col("mask")
+    sources = F.concat(
+        F.slice(F.array(F.lit("lsh")), 1, mask.bitwiseAND(1)),
+        F.slice(
+            F.array(F.lit("simhash")), 1, F.shiftright(mask, 1).bitwiseAND(1)
+        ),
+        F.slice(
+            F.array(F.lit("substring")),
+            1,
+            F.shiftright(mask, 2).bitwiseAND(1),
+        ),
+    )
     pairs = (
         ok.select("gen", m.alias("ms"))
         .select("gen", F.explode(_bucket_pairs(F.col("ms"))).alias("p"))
         .select(
             F.col("p.a").alias("a"),
             F.col("p.b").alias("b"),
-            F.col("gen").alias("source"),
+            src_bit.alias("src"),
         )
         .groupBy("a", "b")
-        .agg(F.array_sort(F.collect_set("source")).alias("sources"))
+        .agg(F.bit_or("src").alias("mask"))
+        .select("a", "b", sources.alias("sources"))
     )
     return pairs, dropped, multi

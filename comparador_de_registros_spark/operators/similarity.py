@@ -36,16 +36,33 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def cosine_col(a: Column, b: Column) -> Column:
-    """Native cosine similarity between two float-array columns."""
-    dot = F.aggregate(
+def dot_col(a: Column, b: Column) -> Column:
+    """Native dot product of two float-array columns."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def norm_col(a: Column) -> Column:
+    """Native L2 norm of a float-array column."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_from_parts(dot: Column, na: Column, nb: Column) -> Column:
+    """cosine from a precomputed dot product and per-side norms — the
+    same expression tree :func:`cosine_col` builds, so results are
+    bit-identical; hoisting the norms to per-ROW columns before a join
+    removes two of the three interpreted array folds from every PAIR
+    (the higher-order aggregate is the expensive part: each side's norm
+    was being recomputed once per pair instead of once per row)."""
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Native cosine similarity between two float-array columns."""
+    return cosine_from_parts(dot_col(a, b), norm_col(a), norm_col(b))
 
 
 def cosine_topk(
@@ -63,17 +80,28 @@ def cosine_topk(
     The query side is broadcast (queries are few; the corpus is big)."""
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            norm_col(F.col(vec_col)).alias("__qn"),
         )
     )
     scored = (
-        embeddings.select(id_col, vec_col)
+        embeddings.select(
+            id_col, vec_col, norm_col(F.col(vec_col)).alias("__n")
+        )
         .crossJoin(q)
         .where(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            F.round(cosine_col(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine"),
+            F.round(
+                cosine_from_parts(
+                    dot_col(F.col("__qvec"), F.col(vec_col)),
+                    F.col("__qn"),
+                    F.col("__n"),
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -193,15 +221,36 @@ def srp_candidate_pairs_with_dropped(
     cand, dropped = _self_join_pairs(
         buckets, ["band", "key"], max_bucket_size, "srp"
     )
-    vecs = embeddings.select(F.col(id_col), F.col(vec_col))
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col), norm_col(F.col(vec_col)).alias("__n")
+    )
     withv = (
         cand.drop("source")
-        .join(vecs.withColumnRenamed(id_col, "a").withColumnRenamed(vec_col, "va"), "a")
-        .join(vecs.withColumnRenamed(id_col, "b").withColumnRenamed(vec_col, "vb"), "b")
+        .join(
+            vecs.withColumnRenamed(id_col, "a")
+            .withColumnRenamed(vec_col, "va")
+            .withColumnRenamed("__n", "__na"),
+            "a",
+        )
+        .join(
+            vecs.withColumnRenamed(id_col, "b")
+            .withColumnRenamed(vec_col, "vb")
+            .withColumnRenamed("__n", "__nb"),
+            "b",
+        )
     )
     pairs = (
         withv.select(
-            "a", "b", F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine")
+            "a",
+            "b",
+            F.round(
+                cosine_from_parts(
+                    dot_col(F.col("va"), F.col("vb")),
+                    F.col("__na"),
+                    F.col("__nb"),
+                ),
+                6,
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= min_cosine)
     )
@@ -327,12 +376,14 @@ def ivf_topk(
     corpus = embeddings.select(
         id_col,
         vec_col,
+        norm_col(F.col(vec_col)).alias("__n"),
         _ivf_cells_udf(centroids, 1)(F.col(vec_col))[0].alias("cell"),
     )
     probes = F.broadcast(
         queries.select(
             F.col(query_id_col),
             F.col(vec_col).alias("__qvec"),
+            norm_col(F.col(vec_col)).alias("__qn"),
             F.explode(
                 _ivf_cells_udf(centroids, nprobe)(F.col(vec_col))
             ).alias("cell"),
@@ -344,9 +395,14 @@ def ivf_topk(
         .select(
             query_id_col,
             id_col,
-            F.round(cosine_col(F.col("__qvec"), F.col(vec_col)), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                cosine_from_parts(
+                    dot_col(F.col("__qvec"), F.col(vec_col)),
+                    F.col("__qn"),
+                    F.col("__n"),
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
@@ -421,6 +477,7 @@ def ivf_topk_indexed(
     probes = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
+        norm_col(F.col(vec_col)).alias("__qn"),
         F.explode(
             _ivf_cells_udf(centroids, nprobe)(F.col(vec_col))
         ).alias("cell"),
@@ -436,14 +493,20 @@ def ivf_topk_indexed(
         .where(F.col("cell").isin(cells))
     )
     scored = (
-        corpus.join(F.broadcast(probes), "cell")
+        corpus.withColumn("__n", norm_col(F.col(vec_col)))
+        .join(F.broadcast(probes), "cell")
         .where(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            F.round(cosine_col(F.col("__qvec"), F.col(vec_col)), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                cosine_from_parts(
+                    dot_col(F.col("__qvec"), F.col(vec_col)),
+                    F.col("__qn"),
+                    F.col("__n"),
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
