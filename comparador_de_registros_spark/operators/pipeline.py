@@ -341,7 +341,15 @@ class DedupPipeline:
             docs = self._encode_col(
                 docs.select("conv_id", "norm"), id_map, "conv_id"
             )
-        verified = verify_pairs(cand, sigs, docs, self.cfg)
+        # the candidate-pair count is free from the checkpoint's parquet
+        # footers (lineage metadata, no scan) and unlocks verify's
+        # small/medium plans — at bench scale the large shared-exchange
+        # plan's fixed jobs (participant distinct + semi-join + explicit
+        # repartitions) dominate the stage
+        n_cand = sum(
+            rows for _f, rows, _b in self.catalog.partition_lineage(T_CAND)
+        )
+        verified = verify_pairs(cand, sigs, docs, self.cfg, n_candidates=n_cand)
         try:
             self._write_observed(
                 spark,

@@ -136,6 +136,21 @@ def verify_pairs(
         )
         n_participants = ids_cached.count()
         broadcast_sigs = n_participants <= cfg.verify_broadcast_sigs_max
+        if broadcast_sigs:
+            # Byte-aware second gate: the count cap alone is blind to how
+            # FAT a sig row is (a 300-char doc carries ~285 shingles
+            # ≈ 1.1 KB; an assembled conversation can carry 10x that).
+            # One columnar avg over the shingle sizes prices the
+            # broadcast; the 2x factor covers JVM array/row overhead on
+            # top of the raw int32 payload.
+            avg_sh = (
+                signatures.select(
+                    F.avg(F.size("shingles")).alias("s")
+                ).first()["s"]
+                or 0.0
+            )
+            est_bytes = n_participants * (avg_sh * 4 + 64) * 2
+            broadcast_sigs = est_bytes <= cfg.verify_broadcast_sigs_max_bytes
         if not broadcast_sigs:
             ids_cached.unpersist()
             ids_cached = None
@@ -303,12 +318,15 @@ def verify_pairs(
         # which re-scans docs and writes the exchange twice. The cache
         # is small by the same residue-size argument; released with the
         # scored cache via release_scored.
-        d = (
-            docs_norm.select("conv_id", "norm")
-            .join(ids_sub, "conv_id", "left_semi")
-            .repartition(n_part, "conv_id")
-            .persist()
+        d = docs_norm.select("conv_id", "norm").join(
+            ids_sub, "conv_id", "left_semi"
         )
+        if not (small or broadcast_sigs):
+            # large plan only: spread the residue norms for the
+            # exchange-based joins below; on the small/medium plans d is
+            # broadcast and the extra exchange is pure fixed cost
+            d = d.repartition(n_part, "conv_id")
+        d = d.persist()
         # On the small/medium plans the corpus itself fits a broadcast,
         # so the residue norms certainly do: broadcasting d turns the
         # two norm joins into BHJs with zero exchanges/sorts over the
@@ -324,14 +342,21 @@ def verify_pairs(
             .withColumnRenamed("norm", "norm_a")
             .join(d_side.select(F.col("conv_id").alias("b"), "norm"), "b")
             .withColumnRenamed("norm", "norm_b")
-            # EXPLICIT spread before the LCS UDF: the residue is small
-            # relative to the corpus, so AQE coalesces the join output
-            # to 1-2 partitions and the per-pair rolling-hash kernel
-            # runs as a SERIAL tail — a fixed cost that hits every
-            # cluster size equally and caps scaling efficiency
-            # (measured: ~20s of the 1->4 executor fixed cost at 10M
-            # turns). An explicit count is AQE-coalescing-exempt.
-            .repartition(n_part, "a", "b")
+        )
+        if not (small or broadcast_sigs):
+            # EXPLICIT spread before the LCS UDF — LARGE plan only: the
+            # residue is small relative to the corpus, so AQE coalesces
+            # the join output to 1-2 partitions and the per-pair
+            # rolling-hash kernel runs as a SERIAL tail — a fixed cost
+            # that hits every cluster size equally and caps scaling
+            # efficiency (measured: ~20s of the 1->4 executor fixed
+            # cost at 10M turns). An explicit count is
+            # AQE-coalescing-exempt. On the small/medium (broadcast)
+            # plans the residue is tiny and the extra exchange is pure
+            # fixed cost.
+            with_norms = with_norms.repartition(n_part, "a", "b")
+        with_norms = (
+            with_norms
             .withColumn(
                 "contained",
                 F.when(

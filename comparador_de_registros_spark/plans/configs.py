@@ -165,6 +165,13 @@ class DedupConfig:
     # fat pair rows.
     verify_broadcast_sigs_max: int = 200_000
 
+    # byte companion to the count gate above: estimated broadcast size
+    # (participants * (avg_shingles * 4 B + row overhead) * 2) must stay
+    # under this, pricing FAT sig rows (assembled conversations carry
+    # 10x a short doc's shingles) out of the broadcast plan that a pure
+    # count cap would admit.
+    verify_broadcast_sigs_max_bytes: int = 256 * 1024 * 1024
+
     def __post_init__(self) -> None:
         if self.minhash is None:
             object.__setattr__(self, "minhash", MinHashConfig())
