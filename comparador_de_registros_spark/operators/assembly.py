@@ -160,5 +160,15 @@ def normalize_doc_col(col):
     collapse whitespace. Deliberately does NOT run the full ``padroniza``
     (stopword/suffix removal is name semantics, not document semantics);
     accent folding is skipped so that byte-level shingles preserve the
-    reference's per-turn text equality invariant."""
-    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    reference's per-turn text equality invariant.
+
+    The collapse pass is guarded behind a cheap probe: for a string
+    with no whitespace RUN and no non-space whitespace char,
+    ``\\s+ -> " "`` is the identity (single spaces map to themselves),
+    so the expensive buffer-building regexp_replace is skipped — on the
+    documents bench table every row is already collapsed."""
+    s = F.lower(F.trim(col))
+    return F.when(
+        s.rlike("\\s\\s|[\\t\\n\\x0B\\f\\r]"),
+        F.regexp_replace(s, r"\s+", " "),
+    ).otherwise(s)
