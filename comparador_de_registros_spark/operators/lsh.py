@@ -181,11 +181,20 @@ def unified_candidates(
     pipeline does); Spark's cache manager rewrites both projections
     onto the cached table by plan-fragment equality.
     """
+    # The generator tag is an INT id (0=lsh, 1=simhash, 2=substring):
+    # narrower shuffle key (4 B vs an 8-11 B string) and cheaper
+    # hashing/compare in the bucket groupBy; the key SPACE is unchanged
+    # (the string gen mapped 1:1 to g), so bucket membership — and
+    # therefore the candidate set — is identical. (A single-pass
+    # variant building one concat'd array of (g,k1,k2) structs measured
+    # SLOWER: the struct-building transform() HOFs are interpreted per
+    # element, while these posexplodes over codegen'd int arrays are
+    # not.)
     gens = []
     base = signatures.select(
         "conv_id", F.col("simhash"),
         F.posexplode(lsh_band_keys("minhash", lsh_cfg)).alias("k1", "k2"),
-    ).select("conv_id", "simhash", F.lit("lsh").alias("gen"), "k1", "k2")
+    ).select("conv_id", "simhash", F.lit(0).alias("g"), "k1", "k2")
     gens.append(base)
     if sim_cfg is not None:
         blocks = sim_cfg.hamming_k + 1
@@ -205,7 +214,7 @@ def unified_candidates(
                     )
                 ).alias("k1", "simk"),
             ).select(
-                "conv_id", "simhash", F.lit("simhash").alias("gen"),
+                "conv_id", "simhash", F.lit(1).alias("g"),
                 "k1", F.col("simk").cast("int").alias("k2"),
             )
         )
@@ -215,16 +224,16 @@ def unified_candidates(
                 "conv_id", F.col("simhash"),
                 F.explode("anchors").alias("anchor"),
             ).select(
-                "conv_id", "simhash", F.lit("substring").alias("gen"),
+                "conv_id", "simhash", F.lit(2).alias("g"),
                 F.lit(0).alias("k1"),
                 F.hash("anchor").alias("k2"),
             )
         )
     keyed = gens[0]
-    for g in gens[1:]:
-        keyed = keyed.unionByName(g)
+    for g_df in gens[1:]:
+        keyed = keyed.unionByName(g_df)
 
-    sized = keyed.groupBy("gen", "k1", "k2").agg(
+    sized = keyed.groupBy("g", "k1", "k2").agg(
         F.collect_list(F.struct("conv_id", "simhash")).alias("members"),
         F.count("*").alias("sz"),
     )
@@ -235,7 +244,11 @@ def unified_candidates(
     multi = sized.where(F.col("sz") >= 2)
     ok = multi.where(F.col("sz") <= lsh_cfg.max_bucket_size)
     dropped = multi.where(F.col("sz") > lsh_cfg.max_bucket_size).select(
-        F.col("gen").alias("generator"), "sz"
+        F.when(F.col("g") == 0, F.lit("lsh"))
+        .when(F.col("g") == 1, F.lit("simhash"))
+        .otherwise(F.lit("substring"))
+        .alias("generator"),
+        "sz",
     )
     m = F.array_sort("members")
     hamming_k = sim_cfg.hamming_k if sim_cfg is not None else 0
@@ -260,7 +273,7 @@ def unified_candidates(
                 mcol,
                 lambda r, j: (j > i)
                 & (
-                    (F.col("gen") != F.lit("simhash"))
+                    (F.col("g") != F.lit(1))
                     | (
                         F.bit_count(
                             l["simhash"].bitwiseXOR(r["simhash"])
@@ -287,11 +300,7 @@ def unified_candidates(
     # yields [] or [x], and concatenating in alphabetical generator
     # order ("lsh" < "simhash" < "substring") reproduces
     # array_sort(collect_set(source)) exactly.
-    src_bit = (
-        F.when(F.col("gen") == "lsh", F.lit(1))
-        .when(F.col("gen") == "simhash", F.lit(2))
-        .otherwise(F.lit(4))
-    )
+    src_bit = F.expr("shiftleft(1, g)")
     mask = F.col("mask")
     sources = F.concat(
         F.slice(F.array(F.lit("lsh")), 1, mask.bitwiseAND(1)),
@@ -305,8 +314,8 @@ def unified_candidates(
         ),
     )
     pairs = (
-        ok.select("gen", m.alias("ms"))
-        .select("gen", F.explode(_bucket_pairs(F.col("ms"))).alias("p"))
+        ok.select("g", m.alias("ms"))
+        .select("g", F.explode(_bucket_pairs(F.col("ms"))).alias("p"))
         .select(
             F.col("p.a").alias("a"),
             F.col("p.b").alias("b"),
