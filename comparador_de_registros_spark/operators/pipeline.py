@@ -196,9 +196,22 @@ class DedupPipeline:
         )
 
     def stage_exact(self, spark: SparkSession) -> None:
+        docs = self.catalog.read(spark, T_DOCS)
+        if "doc_hash" not in docs.columns:
+            # stale-checkpoint migration guard (same shape as the
+            # streaming legacy-layout error): a docs table checkpointed
+            # before doc_hash moved into the assemble stage cannot feed
+            # the pruned exact scan — fail with the cause and the fix
+            # instead of an opaque AnalysisException
+            raise ValueError(
+                f"docs checkpoint {T_DOCS!r} ({self.catalog!r}) has no "
+                "doc_hash column — it was written by a pre-round-5 "
+                "assemble stage. Re-run the assemble stage (drop the "
+                "docs table or run without resume=True) to migrate."
+            )
         # pruned scan: only (conv_id, doc_hash) leave the parquet
         # footerstore — the norm/doc text columns are never read here
-        hashed = self.catalog.read(spark, T_DOCS).select("conv_id", "doc_hash")
+        hashed = docs.select("conv_id", "doc_hash")
         reps = hashed.groupBy("doc_hash").agg(F.min("conv_id").alias("rep_id"))
         exact_map = hashed.join(reps, "doc_hash").select(
             "conv_id", "rep_id", "doc_hash"

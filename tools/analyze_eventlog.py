@@ -13,12 +13,23 @@ Usage: analyze_eventlog.py EVENTLOG_FILE STAGE_WIN_JSON N_CORES
 
 from __future__ import annotations
 
+import glob
 import json
+import os
 import sys
 
 
 def main() -> None:
     path, win_json, n_cores = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    # Spark's rolling event-log layout (eventlog_v2_<app>/) is a
+    # DIRECTORY holding events_<n>_... files; read the newest events
+    # file instead of crashing with IsADirectoryError (the committed
+    # err.log failure of round 5).
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "events_*")))
+        if not parts:
+            raise SystemExit(f"no events_* files under {path}")
+        path = parts[-1]
     wins = json.loads(win_json)
     tasks = []  # (launch_s, finish_s, run_ms, gc_ms, fetch_ms, ser_ms)
     with open(path) as fh:
