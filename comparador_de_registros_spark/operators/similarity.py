@@ -221,36 +221,21 @@ def srp_candidate_pairs_with_dropped(
     cand, dropped = _self_join_pairs(
         buckets, ["band", "key"], max_bucket_size, "srp"
     )
-    vecs = embeddings.select(
-        F.col(id_col), F.col(vec_col), norm_col(F.col(vec_col)).alias("__n")
-    )
+    # NOTE: unlike the top-k paths, norms are NOT hoisted here — the
+    # candidate set is bucket-capped and small relative to the corpus,
+    # so the per-pair folds are negligible, while an extra projection on
+    # the vec side defeats Catalyst's size estimate and flips these
+    # joins from broadcast to sort-merge in the static plan (observed in
+    # the r06 plan dumps).
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col))
     withv = (
         cand.drop("source")
-        .join(
-            vecs.withColumnRenamed(id_col, "a")
-            .withColumnRenamed(vec_col, "va")
-            .withColumnRenamed("__n", "__na"),
-            "a",
-        )
-        .join(
-            vecs.withColumnRenamed(id_col, "b")
-            .withColumnRenamed(vec_col, "vb")
-            .withColumnRenamed("__n", "__nb"),
-            "b",
-        )
+        .join(vecs.withColumnRenamed(id_col, "a").withColumnRenamed(vec_col, "va"), "a")
+        .join(vecs.withColumnRenamed(id_col, "b").withColumnRenamed(vec_col, "vb"), "b")
     )
     pairs = (
         withv.select(
-            "a",
-            "b",
-            F.round(
-                cosine_from_parts(
-                    dot_col(F.col("va"), F.col("vb")),
-                    F.col("__na"),
-                    F.col("__nb"),
-                ),
-                6,
-            ).alias("cosine"),
+            "a", "b", F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine")
         )
         .where(F.col("cosine") >= min_cosine)
     )
