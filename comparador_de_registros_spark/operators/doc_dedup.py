@@ -148,7 +148,14 @@ def signature_dup_pairs(
 ) -> DataFrame:
     """MinHash-LSH (+SimHash, +substring) near-dup pairs over a generic
     documents table: sign -> candidates -> verify. -> (a, b, jaccard,
-    contained, is_dup, sources) with string ids."""
+    contained, is_dup, sources) with string ids.
+
+    EAGER: calling this runs the full sign + candidate-generation
+    computation immediately (the candidate cache is materialized with a
+    count so verify's plan choice and the concurrent consumers of the
+    cache are race-free) and leaves live caches attached to the result.
+    Callers must call :func:`release_signature_run` once done; callers
+    that only want the plan should not call this function."""
     cfg = cfg or DedupConfig()
     convs = _docs_as_convs(docs, id_col, text_col)
     # the signature table is referenced by every candidate generator AND
