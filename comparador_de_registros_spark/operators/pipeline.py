@@ -329,18 +329,40 @@ class DedupPipeline:
                 F.array_contains("sources", "substring")
             )
         try:
-            self._write_observed(spark, cand, T_CAND, "candidates", metric_cols)
-            self._write_observed(
-                spark,
-                dropped,
-                T_DROPPED,
-                "candidates_dropped",
-                {
-                    "n_dropped_buckets": F.count(F.lit(1)),
-                    "n_dropped_members": F.coalesce(F.sum("sz"), F.lit(0)),
-                },
-                num_files=1,
-            )
+            # materialize the shared bucket cache once, then run the two
+            # independent checkpoint writes as CONCURRENT jobs (guide
+            # §2.6: actions are only sequential because the driver calls
+            # them sequentially); the dropped-buckets write back-fills
+            # executors freed by the candidates write's tail. Metric/
+            # lineage buffering is append-only, so deferred mode is
+            # thread-safe; each write carries its own Observation.
+            buckets.count()
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _w_cand():
+                self._write_observed(
+                    spark, cand, T_CAND, "candidates", metric_cols
+                )
+
+            def _w_dropped():
+                self._write_observed(
+                    spark,
+                    dropped,
+                    T_DROPPED,
+                    "candidates_dropped",
+                    {
+                        "n_dropped_buckets": F.count(F.lit(1)),
+                        "n_dropped_members": F.coalesce(
+                            F.sum("sz"), F.lit(0)
+                        ),
+                    },
+                    num_files=1,
+                )
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [pool.submit(_w_cand), pool.submit(_w_dropped)]
+                for f in futs:
+                    f.result()
         finally:
             buckets.unpersist()
 
