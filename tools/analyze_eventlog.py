@@ -32,7 +32,26 @@ def main() -> None:
         path = parts[-1]
     wins = json.loads(win_json)
     tasks = []  # (launch_s, finish_s, run_ms, gc_ms, fetch_ms, ser_ms)
-    with open(path) as fh:
+    # Spark compresses rolling event logs by default (events_*.zstd /
+    # .lz4 / .snappy); stream-decompress via the matching CLI codec
+    # rather than crashing on the binary bytes.
+    if path.endswith((".zstd", ".zst")):
+        import io
+        import shutil as _sh
+        import subprocess
+
+        if _sh.which("zstd") is None:
+            raise SystemExit(
+                "event log is zstd-compressed and no zstd binary is on "
+                "PATH; rerun with spark.eventLog.compress=false"
+            )
+        proc = subprocess.Popen(
+            ["zstd", "-dc", path], stdout=subprocess.PIPE
+        )
+        fh = io.TextIOWrapper(proc.stdout, encoding="utf-8")
+    else:
+        fh = open(path)
+    with fh:
         for line in fh:
             if '"SparkListenerTaskEnd"' not in line:
                 continue
