@@ -190,11 +190,19 @@ def unified_candidates(
     # SLOWER: the struct-building transform() HOFs are interpreted per
     # element, while these posexplodes over codegen'd int arrays are
     # not.)
+    # Only the simhash generator's buckets ever READ the carried
+    # fingerprint (the Hamming post-filter guards on g == 1), so the
+    # lsh/substring key streams ship a NULL instead — ~8 B saved on
+    # ~90% of the keyed rows feeding the bucket shuffle (the pipeline's
+    # biggest shuffle byte line at 600k base), with bucket contents and
+    # pair output untouched (conv_ids are unique within a bucket, so
+    # simhash never tie-breaks the member sort).
+    null_sim = F.lit(None).cast("long").alias("simhash")
     gens = []
     base = signatures.select(
-        "conv_id", F.col("simhash"),
+        "conv_id",
         F.posexplode(lsh_band_keys("minhash", lsh_cfg)).alias("k1", "k2"),
-    ).select("conv_id", "simhash", F.lit(0).alias("g"), "k1", "k2")
+    ).select("conv_id", null_sim, F.lit(0).alias("g"), "k1", "k2")
     gens.append(base)
     if sim_cfg is not None:
         blocks = sim_cfg.hamming_k + 1
@@ -221,10 +229,10 @@ def unified_candidates(
     if use_substring:
         gens.append(
             signatures.select(
-                "conv_id", F.col("simhash"),
+                "conv_id",
                 F.explode("anchors").alias("anchor"),
             ).select(
-                "conv_id", "simhash", F.lit(2).alias("g"),
+                "conv_id", null_sim, F.lit(2).alias("g"),
                 F.lit(0).alias("k1"),
                 F.hash("anchor").alias("k2"),
             )
