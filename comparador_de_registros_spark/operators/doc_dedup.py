@@ -157,7 +157,10 @@ def signature_dup_pairs(
     Callers must call :func:`release_signature_run` once done; callers
     that only want the plan should not call this function."""
     cfg = cfg or DedupConfig()
-    convs = _docs_as_convs(docs, id_col, text_col)
+    # everything downstream (the sign kernel, verify's ladder norms)
+    # consumes only (conv_id, norm) — dropping the raw doc column
+    # before the spread halves the text bytes that shuffle ships
+    convs = _docs_as_convs(docs, id_col, text_col).select("conv_id", "norm")
     # the signature table is referenced by every candidate generator AND
     # both verify-side shingle joins; without a cache the Arrow signing
     # kernel — the most expensive map here — would run once per
