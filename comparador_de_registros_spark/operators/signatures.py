@@ -354,7 +354,14 @@ def compute_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
                 yield pd.DataFrame(out)
                 start = end
 
-    prepared = docs.select(
-        "conv_id", normalize_doc_col(F.col("doc")).alias("norm")
-    )
+    # reuse a caller-materialized norm column when present (the docs
+    # checkpoint and signature_dup_pairs both carry one) instead of
+    # re-running the normalization over the full text a second time;
+    # by construction it is the same normalize_doc_col(doc) value
+    if "norm" in docs.columns:
+        prepared = docs.select("conv_id", "norm")
+    else:
+        prepared = docs.select(
+            "conv_id", normalize_doc_col(F.col("doc")).alias("norm")
+        )
     return prepared.mapInPandas(compute, SIGNATURE_SCHEMA)
