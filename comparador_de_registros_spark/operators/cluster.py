@@ -21,8 +21,24 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Bounded-size fast path: below this edge count the component labeling
+# runs as a driver-side union-find over the (already counted) edge set
+# instead of O(log n) distributed rounds. Each distributed round is ~6
+# shuffles; under AQE that is ~7 tiny jobs whose scheduling + planning
+# overhead dominates wall time on small graphs (profiled at the bench:
+# ~20 jobs / 2.5-4 s for a 3k-edge graph the driver labels in <50 ms).
+# The cap bounds driver memory (~200k edges ≈ tens of MB of Python
+# objects, far under the 8 GB driver heap) the same way the IVF
+# centroid collect and broadcast thresholds do; above it the
+# distributed path is IDENTICAL to before. Parameterised for cluster
+# deployments (SPARK_GRAFT_CC_LOCAL_MAX; 0 disables the fast path).
+_CC_LOCAL_MAX_EDGES = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX", "200000"))
 
 
 def _canonical_edges(edges: DataFrame, a: str, b: str) -> DataFrame:
@@ -83,15 +99,64 @@ def _fingerprint_cols() -> list:
     ]
 
 
+def _local_components(spark, cur: DataFrame) -> DataFrame:
+    """Driver-side union-find over a BOUNDED canonical edge set
+    (``cur``: distinct (u, v), u != v, no nulls). Output is exactly the
+    distributed fixpoint's: every node labeled with its component's
+    minimum id. Python string comparison equals Spark's UTF8 binary
+    comparison for valid UTF-8 (byte order == code-point order), and
+    long ids compare numerically in both, so min labels agree."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in cur.collect():
+        u, v = row[0], row[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    label: dict = {}
+    for node in parent:
+        r = find(node)
+        m = label.get(r)
+        if m is None or node < m:
+            label[r] = node
+    data = [(n, label[find(n)]) for n in parent]
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", cur.schema["u"].dataType, True),
+            T.StructField("cluster_id", cur.schema["v"].dataType, True),
+        ]
+    )
+    return spark.createDataFrame(data, schema)
+
+
 def connected_components(
     edges: DataFrame,
     a: str = "a",
     b: str = "b",
     max_iter: int = 25,
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """-> (conv_id, cluster_id): every node in the edge set labeled with
     its component's minimum node id. Nodes absent from ``edges`` are
-    absent here — the pipeline unions singletons back explicitly."""
+    absent here — the pipeline unions singletons back explicitly.
+
+    Graphs at or under ``local_max_edges`` (default
+    ``$SPARK_GRAFT_CC_LOCAL_MAX`` = 200k) are labeled by a driver-side
+    union-find — a bounded collect decided by the edge count the
+    convergence observation already produces for free; larger graphs
+    run the unchanged distributed large-star/small-star rounds."""
     spark = edges.sparkSession
     obs0 = Observation()
     cur = (
@@ -100,6 +165,10 @@ def connected_components(
         .localCheckpoint()
     )
     n_edges = int(obs0.get["n"] or 0)
+    if local_max_edges is None:
+        local_max_edges = _CC_LOCAL_MAX_EDGES
+    if n_edges <= local_max_edges:
+        return _local_components(spark, cur)
     # Right-size the iteration's shuffles to the GRAPH, not the corpus:
     # the dup-pair edge set is orders of magnitude smaller than the
     # document table, and each round is 6 shuffles — at the session's

@@ -196,6 +196,38 @@ def test_connected_components_chain(spark):
     assert comp.count() == n + 1
 
 
+def test_connected_components_local_matches_distributed(spark):
+    """The bounded-graph driver union-find fast path (r06) must be
+    row-identical — values AND schema — to the distributed star rounds
+    on a random graph with multi-node components, singleton pairs and
+    duplicate/reversed edges."""
+    import random
+
+    rng = random.Random(7)
+    pairs = [
+        (f"c{rng.randrange(120):03d}", f"c{rng.randrange(120):03d}")
+        for _ in range(300)
+    ]
+    edges = spark.createDataFrame(pairs, ["a", "b"])
+    local = connected_components(edges)  # 300 edges < default cap
+    dist = connected_components(edges, local_max_edges=0)
+    assert local.schema == dist.schema
+    assert sorted(map(tuple, local.collect())) == sorted(
+        map(tuple, dist.collect())
+    )
+    # long-id graphs take the same fast path with the same agreement
+    ledges = spark.createDataFrame(
+        [(rng.randrange(60), rng.randrange(60)) for _ in range(150)],
+        "a long, b long",
+    )
+    llocal = connected_components(ledges)
+    ldist = connected_components(ledges, local_max_edges=0)
+    assert llocal.schema == ldist.schema
+    assert sorted(map(tuple, llocal.collect())) == sorted(
+        map(tuple, ldist.collect())
+    )
+
+
 def test_pipeline_recall_vs_oracle(spark, pipeline_result):
     catalog, pipe, clusters = pipeline_result
     docs = catalog.read(spark, T_DOCS)
