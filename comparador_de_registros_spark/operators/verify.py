@@ -307,11 +307,38 @@ def verify_pairs(
         # candidates that FAILED Jaccard, bounded by the anchor
         # generator's bucket caps — and if it ever outgrew Spark's
         # broadcast limit the job fails loudly rather than silently.
-        ids_sub = F.broadcast(
-            needs_substring.select(
-                F.explode(F.array("a", "b")).alias("conv_id")
-            ).distinct()
-        )
+        if small or broadcast_sigs:
+            # Small/medium plans: seed the semi-join with the CANDIDATE
+            # participants instead of the ladder residue's. The id set
+            # is a superset (residue pairs are candidates), and the
+            # with_norms joins below are inner on the residue's a/b, so
+            # extra d rows are never matched — output identical. What it
+            # buys: the residue ids depend on the scored branch, so the
+            # ids -> d broadcast builds were NESTED under scored's and
+            # the three broadcasts serialized (profiled: three ~1.1 s
+            # jobs back-to-back at bench scale); candidate ids depend
+            # only on the (cached/checkpointed) pair table, letting the
+            # norm broadcast build in parallel with scored. Byte bound
+            # unchanged in the worst case (the residue can BE the whole
+            # candidate set); on the medium plan participant norms are
+            # ~1/4 of the shingle broadcast the byte gate already
+            # priced. The large plan keeps residue-derived ids — at
+            # scale the superset would broadcast norms for millions of
+            # participants whose pairs never reach the ladder.
+            if ids_cached is not None:
+                ids_sub = F.broadcast(ids_cached)
+            else:
+                ids_sub = F.broadcast(
+                    candidates.select(
+                        F.explode(F.array("a", "b")).alias("conv_id")
+                    ).distinct()
+                )
+        else:
+            ids_sub = F.broadcast(
+                needs_substring.select(
+                    F.explode(F.array("a", "b")).alias("conv_id")
+                ).distinct()
+            )
         # persisted: the norm_a and norm_b joins both consume d, and
         # physical planning duplicates the subtree (the two filtered
         # exchanges don't canonicalize equal under the broadcast semi),
