@@ -16,7 +16,10 @@ from pyspark.sql import functions as F
 
 from comparador_de_registros_spark.operators import lsh as lsh_ops
 from comparador_de_registros_spark.operators.assembly import normalize_doc_col
-from comparador_de_registros_spark.operators.signatures import compute_signatures
+from comparador_de_registros_spark.operators.signatures import (
+    compute_signatures,
+    scan_is_narrow,
+)
 from comparador_de_registros_spark.operators.verify import (
     release_scored,
     union_candidates,
@@ -157,19 +160,30 @@ def signature_dup_pairs(
     Callers must call :func:`release_signature_run` once done; callers
     that only want the plan should not call this function."""
     cfg = cfg or DedupConfig()
-    # everything downstream (the sign kernel, verify's ladder norms)
-    # consumes only (conv_id, norm) — dropping the raw doc column
-    # before the spread halves the text bytes that shuffle ships
-    convs = _docs_as_convs(docs, id_col, text_col).select("conv_id", "norm")
     # the signature table is referenced by every candidate generator AND
     # both verify-side shingle joins; without a cache the Arrow signing
     # kernel — the most expensive map here — would run once per
     # reference. Spread the input first (a single parquet file scans
-    # into 1-3 splits, serializing the kernel), then persist.
+    # into 1-3 splits, serializing the kernel), then persist. The
+    # narrowness probe reads file metadata, not .rdd (scan_is_narrow);
+    # normalization is applied AFTER the spread so it runs on every
+    # core instead of inside the narrow scan's map task (profiled: the
+    # pre-spread normalize was a ~1.8 s serial task on the bench's
+    # single-file corpus — per-row values are partition-independent, so
+    # the reorder is output-identical). Everything downstream consumes
+    # only (conv_id, norm); the raw doc column is dropped either side
+    # of the exchange.
     spark = docs.sparkSession
-    if convs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    base = docs.select(
+        F.col(id_col).cast("string").alias("conv_id"),
+        F.col(text_col).alias("doc"),
+    )
+    if scan_is_narrow(spark, base, spark.sparkContext.defaultParallelism):
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        convs = convs.repartition(n_part, "conv_id")
+        base = base.repartition(n_part, "conv_id")
+    convs = base.select(
+        "conv_id", normalize_doc_col(F.col("doc")).alias("norm")
+    )
     sigs = compute_signatures(convs, cfg).persist()
     cand, _, _ = lsh_ops.unified_candidates(
         sigs,

@@ -39,7 +39,10 @@ from comparador_de_registros_spark.operators.assembly import (
     normalize_doc_col,
 )
 from comparador_de_registros_spark.operators.cluster import connected_components
-from comparador_de_registros_spark.operators.signatures import compute_signatures
+from comparador_de_registros_spark.operators.signatures import (
+    compute_signatures,
+    scan_is_narrow,
+)
 from comparador_de_registros_spark.operators.verify import (
     release_scored,
     verify_pairs,
@@ -284,7 +287,7 @@ class DedupPipeline:
         # exceeds their cores). At production scale the scan yields
         # >= thousands of splits and no shuffle happens.
         cores = spark.sparkContext.defaultParallelism
-        if docs.rdd.getNumPartitions() < cores:
+        if scan_is_narrow(spark, docs, cores):
             n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
             reps = reps.repartition(n_part, "conv_id")
         sigs = compute_signatures(reps, self.cfg)

@@ -326,6 +326,52 @@ def batch_signatures(
     }
 
 
+def scan_is_narrow(spark, df: DataFrame, cores: int) -> bool:
+    """True when ``df``'s scan would land on fewer input splits than
+    ``cores`` — the decision the sign stage uses to spread its input so
+    the Arrow kernel keeps every core busy.
+
+    For file-backed frames the split count is ESTIMATED from file
+    metadata (sizes + the session's maxPartitionBytes/openCostInBytes
+    packing rule): one cheap FileSystem RPC per file instead of
+    ``df.rdd.getNumPartitions()``, whose DataFrame->RDD conversion costs
+    ~1.5 s of driver work in a cold session (profiled — it was the
+    second-largest fixed cost of the bench's minhash line). Non-file
+    sources (local relations in tests) keep the .rdd probe; frames with
+    >512 files are treated as wide (at that width the spread decision
+    is irrelevant and per-file RPCs are not)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return df.rdd.getNumPartitions() < cores
+    if len(files) >= 512:
+        return False
+    jvm = spark._jvm
+    ju = jvm.org.apache.spark.network.util.JavaUtils
+    mpb = ju.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+    )
+    open_cost = ju.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4MB")
+    )
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    fs = None
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        if fs is None:
+            fs = p.getFileSystem(hconf)
+        total += fs.getFileStatus(p).getLen()
+    # Spark packs (file piece + openCost) greedily into maxPartitionBytes
+    # bins; this ceiling matches that for small files and underestimates
+    # only when single files exceed mpb — exactly the case where the
+    # scan is already wide.
+    est = (total + len(files) * open_cost + mpb - 1) // mpb
+    return est < cores
+
+
 def compute_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     """``docs(conv_id, doc)`` -> SIGNATURE_SCHEMA rows.
 
