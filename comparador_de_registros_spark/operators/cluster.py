@@ -138,7 +138,13 @@ def _local_components(spark, cur: DataFrame) -> DataFrame:
             T.StructField("cluster_id", cur.schema["v"].dataType, True),
         ]
     )
-    return spark.createDataFrame(data, schema)
+    # broadcast-hint the result: a parallelized local relation carries
+    # no size statistics (defaultSizeInBytes = Long.Max), so without
+    # the hint every caller's singleton-attach join plans as a
+    # sort-merge over the full corpus id table. The row count is
+    # bounded by the fast-path cap (<= 2 * local_max_edges nodes), well
+    # inside broadcast limits; the distributed path below stays unhinted.
+    return F.broadcast(spark.createDataFrame(data, schema))
 
 
 def connected_components(
